@@ -1,0 +1,58 @@
+"""Scaled-dot-product attention ops.
+
+The reference uses torch FlexAttention with no masks/score-mods (layers.py:153,
+260 — SCORE_MOD registry only has "noop"), i.e. plain full attention. Here:
+
+- `sdpa`: XLA einsum attention with fp32 softmax accumulation. For the model
+  sizes in play (16 latent tokens, gene-token cross-attention that is a tall
+  skinny matmul) XLA fuses this into MXU-friendly programs.
+- For long self-attention token axes on TPU, `sdpa` dispatches to the Pallas
+  flash-attention kernel (scldm_tpu.ops.flash_attention) above a length
+  threshold, avoiding the O(S^2) HBM round-trip of materialized scores.
+
+Layout convention: (batch, seq, heads, head_dim) throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Token-axis length above which the Pallas kernel wins on TPU (scores no longer
+# fit comfortably in VMEM and XLA materializes them in HBM).
+_FLASH_MIN_SEQ = 1024
+
+
+def _use_flash(q: jax.Array, k: jax.Array) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    # flash path requires head_dim and kv length friendly to (8,128) tiling
+    return k.shape[1] >= _FLASH_MIN_SEQ and q.shape[1] >= _FLASH_MIN_SEQ
+
+
+def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Reference attention: softmax(q k^T / sqrt(d)) v, fp32 softmax.
+
+    Shapes: q (B, M, H, D), k/v (B, S, H, D) -> (B, M, H, D).
+    """
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    scores = jnp.einsum("bmhd,bshd->bhms", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * scale, axis=-1)
+    out = jnp.einsum("bhms,bshd->bmhd", probs.astype(v.dtype), v)
+    return out
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Dispatching attention: Pallas flash kernel for long TPU sequences,
+    plain XLA attention otherwise."""
+    if _use_flash(q, k):
+        from scldm_tpu.ops.flash_attention import flash_attention
+
+        try:
+            return flash_attention(q, k, v)
+        except Exception:  # pragma: no cover - conservative fallback
+            return sdpa_xla(q, k, v)
+    return sdpa_xla(q, k, v)

@@ -1,0 +1,54 @@
+"""Count-injection transforms for the input embedding.
+
+Parity with the stateless members of the reference PROJ_FUNC registry
+(src/scldm/layers.py:28-88). The learned projections ("proj", "projconcat",
+"softbin") are Flax modules in scldm_tpu.nn.layers; the registry here maps the
+stateless names to pure functions of (gene_embeddings, counts).
+
+All transforms take ``genes`` of shape (..., S, E) and ``counts`` of shape
+(..., S, 1) and return (..., S, E).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def log1p_transform(genes: jax.Array, counts: jax.Array) -> jax.Array:
+    """genes * log1p(counts)  (reference layers.py:28-31)."""
+    return genes * jnp.log1p(counts)
+
+
+def log1p_zero_transform(genes: jax.Array, counts: jax.Array) -> jax.Array:
+    """log1p with zeros encoded as -1 (reference layers.py:28-31, zero_encoding)."""
+    return genes * jnp.where(counts == 0, -1.0, jnp.log1p(counts))
+
+
+def anscombe_transform(genes: jax.Array, counts: jax.Array) -> jax.Array:
+    """genes * asinh(sqrt(counts + 1))  (reference layers.py:34-37)."""
+    return genes * jnp.arcsinh(jnp.sqrt(counts + 1.0))
+
+
+def sqrt_transform(genes: jax.Array, counts: jax.Array) -> jax.Array:
+    """genes * sqrt(counts + 1)  (reference layers.py:40-42)."""
+    return genes * jnp.sqrt(counts + 1.0)
+
+
+COUNT_TRANSFORMS = {
+    "log1p": log1p_transform,
+    "log1pzero": log1p_zero_transform,
+    "anscombe": anscombe_transform,
+    "sqrt": sqrt_transform,
+}
+
+#: agg_func names that require learned parameters (handled by nn.layers).
+LEARNED_TRANSFORMS = ("proj", "projconcat", "softbin")
+
+
+def log1p_cpm(counts: jax.Array, library_size: jax.Array | None = None) -> jax.Array:
+    """log1p(counts / library * 10_000) — the scaling used throughout the
+    reference validation metrics (models.py:240,321-322,899-900)."""
+    if library_size is None:
+        library_size = counts.sum(axis=-1, keepdims=True)
+    return jnp.log1p(counts / library_size * 10_000.0)

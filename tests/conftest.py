@@ -1,0 +1,29 @@
+"""Test harness: run everything on an 8-device virtual CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware via
+`--xla_force_host_platform_device_count` (the JAX-native analog of the
+reference's untested multi-node path; see SURVEY.md §4). Env vars must be set
+before the first `import jax` anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def jax_devices():
+    import jax
+
+    return jax.devices()
