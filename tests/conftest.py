@@ -13,6 +13,13 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# sitecustomize may import jax before this conftest runs (latching env-derived
+# config), so force the platform through the live config object too — otherwise
+# the first backend init tries to reach real accelerator hardware.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
