@@ -1,0 +1,239 @@
+"""Model-core tests: shapes, MCAB permutation properties, DiT init/CFG."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scldm_tpu.nn import DiT
+from scldm_tpu.nn.vae import build_transformer_vae
+
+N_GENES = 50
+G_SEQ = 20  # subset length
+B = 3
+
+
+@pytest.fixture(scope="module")
+def vae_and_params():
+    vae = build_transformer_vae(n_genes=N_GENES, n_embed=32, n_embed_latent=16)
+    key = jax.random.PRNGKey(0)
+    batch = _make_batch(key)
+    params = vae.init(key, **batch)
+    return vae, params
+
+
+def _make_batch(key):
+    k1, k2 = jax.random.split(key)
+    counts = jax.random.poisson(k1, 2.0, (B, N_GENES)).astype(jnp.float32)
+    genes = jnp.tile(jnp.arange(1, N_GENES + 1)[None], (B, 1))
+    library = counts.sum(1, keepdims=True)
+    # "expressed"-style subset: first G_SEQ tokens
+    return dict(
+        counts=counts,
+        genes=genes,
+        library_size=library,
+        counts_subset=counts[:, :G_SEQ],
+        genes_subset=genes[:, :G_SEQ],
+    )
+
+
+class TestTransformerVAE:
+    def test_forward_shapes(self, vae_and_params):
+        vae, params = vae_and_params
+        batch = _make_batch(jax.random.PRNGKey(1))
+        out, h_z = vae.apply(params, **batch)
+        assert h_z.shape == (B, 16, 16)
+        assert out["mu"].shape == (B, N_GENES)
+        assert out["theta"].shape == (B, N_GENES)
+
+    def test_mu_sums_to_library(self, vae_and_params):
+        """softmax normalization: sum_genes mu == library_size (head parity)."""
+        vae, params = vae_and_params
+        batch = _make_batch(jax.random.PRNGKey(1))
+        out, _ = vae.apply(params, **batch)
+        np.testing.assert_allclose(
+            np.asarray(out["mu"].sum(1)),
+            np.asarray(batch["library_size"][:, 0]),
+            rtol=1e-4,
+        )
+
+    def test_theta_positive(self, vae_and_params):
+        vae, params = vae_and_params
+        out, _ = vae.apply(params, **_make_batch(jax.random.PRNGKey(1)))
+        assert (np.asarray(out["theta"]) > 0).all()
+
+    def test_encoder_permutation_invariant(self, vae_and_params):
+        """MCAB pooling: permuting the input token set must not change h_z."""
+        vae, params = vae_and_params
+        batch = _make_batch(jax.random.PRNGKey(2))
+        z1 = vae.apply(params, method="encode", **{
+            "counts": batch["counts"], "genes": batch["genes"],
+            "counts_subset": batch["counts_subset"], "genes_subset": batch["genes_subset"],
+        })
+        perm = jax.random.permutation(jax.random.PRNGKey(3), G_SEQ)
+        z2 = vae.apply(params, method="encode", **{
+            "counts": batch["counts"], "genes": batch["genes"],
+            "counts_subset": batch["counts_subset"][:, perm],
+            "genes_subset": batch["genes_subset"][:, perm],
+        })
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-4)
+
+    def test_decoder_permutation_equivariant(self, vae_and_params):
+        """Permuting decoder gene queries permutes the hidden outputs.
+
+        (Checked on raw decoder hidden states via decode-with-gaussian-free
+        path: mu before softmax is per-token, but softmax couples the axis —
+        so check on the NB mu ratio structure instead: mu[perm] relation.)
+        """
+        vae, params = vae_and_params
+        batch = _make_batch(jax.random.PRNGKey(2))
+        z = vae.apply(params, method="encode", **{
+            "counts": batch["counts"], "genes": batch["genes"],
+            "counts_subset": batch["counts_subset"], "genes_subset": batch["genes_subset"],
+        })
+        out1 = vae.apply(params, z, batch["genes"], batch["library_size"], method="decode")
+        perm = np.asarray(jax.random.permutation(jax.random.PRNGKey(4), N_GENES))
+        out2 = vae.apply(
+            params, z, batch["genes"][:, perm], batch["library_size"], method="decode"
+        )
+        # softmax over genes is permutation-equivariant, so mu2 = mu1[:, perm]
+        np.testing.assert_allclose(
+            np.asarray(out2["mu"]), np.asarray(out1["mu"][:, perm]), rtol=2e-3, atol=1e-5
+        )
+
+    def test_latent_is_layernormed(self, vae_and_params):
+        """Latent tokens come out of a non-affine LN: per-token mean≈0, var≈1."""
+        vae, params = vae_and_params
+        batch = _make_batch(jax.random.PRNGKey(5))
+        _, h_z = vae.apply(params, **batch)
+        np.testing.assert_allclose(np.asarray(h_z.mean(-1)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_z.var(-1)), 1.0, rtol=1e-3)
+
+    def test_gaussian_head_variant(self):
+        vae = build_transformer_vae(n_genes=N_GENES, decoder_head="gaussian")
+        batch = _make_batch(jax.random.PRNGKey(0))
+        params = vae.init(jax.random.PRNGKey(0), **batch)
+        out, h_z = vae.apply(params, **batch)
+        assert out["mu"].shape == (B, N_GENES)
+        assert "theta" not in out
+
+
+class TestDiT:
+    VOCAB = {"clusters": 5}
+
+    def _make(self, strategy="mutually_exclusive", cfg_p=0.8):
+        dit = DiT(
+            n_embed=64,
+            n_embed_input=16,
+            n_layer=2,
+            n_head=4,
+            seq_len=16,
+            class_vocab_sizes=self.VOCAB,
+            cfg_dropout_prob=cfg_p,
+            condition_strategy=strategy,
+        )
+        x = jnp.ones((4, 16, 16))
+        t = jnp.full((4,), 0.5)
+        cond = {"clusters": jnp.array([0, 1, 2, 3])}
+        params = dit.init(
+            {"params": jax.random.PRNGKey(0), "condition": jax.random.PRNGKey(1)},
+            x, t, cond, train=True,
+        )
+        return dit, params, x, t, cond
+
+    def test_output_shape(self):
+        dit, params, x, t, cond = self._make()
+        out = dit.apply(params, x, t, cond, force_drop_ids=False)
+        assert out.shape == x.shape
+
+    def test_adaln_zero_init_output_is_zero(self):
+        """Zero-init final layer -> output exactly 0 at init (nnets.py:486-492)."""
+        dit, params, x, t, cond = self._make()
+        out = dit.apply(params, x, t, cond, force_drop_ids=False)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_adaln_zero_blocks_identity_at_init(self):
+        """adaLN-zero gates start at 0 -> blocks are identity at init; the
+        final projection is zero-init so the whole model is 0. Check that
+        perturbing final-layer weights yields nonzero outputs (wiring sanity)."""
+        dit, params, x, t, cond = self._make()
+        p = jax.tree_util.tree_map(lambda a: a, params)  # shallow copy
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(p["params"])
+        for k in flat:
+            if "final_layer" in k and "linear" in k and k[-1] == "kernel":
+                flat[k] = jnp.ones_like(flat[k]) * 0.01
+        p = {"params": flax.traverse_util.unflatten_dict(flat)}
+        out = dit.apply(p, x, t, cond, force_drop_ids=False)
+        assert np.abs(np.asarray(out)).max() > 0
+
+    def test_train_requires_condition_rng(self):
+        dit, params, x, t, cond = self._make()
+        out = dit.apply(
+            params, x, t, cond, train=True, rngs={"condition": jax.random.PRNGKey(7)}
+        )
+        assert out.shape == x.shape
+
+    def test_cfg_dropout_changes_embedding(self):
+        """With cfg_dropout_prob=1.0, training conditioning equals null
+        conditioning regardless of labels."""
+        dit = DiT(
+            n_embed=64, n_embed_input=16, n_layer=1, n_head=4, seq_len=16,
+            class_vocab_sizes=self.VOCAB, cfg_dropout_prob=1.0,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16))
+        t = jnp.full((4,), 0.5)
+        cond_a = {"clusters": jnp.array([0, 1, 2, 3])}
+        cond_null = {"clusters": jnp.full((4,), 5)}
+        params = dit.init(
+            {"params": jax.random.PRNGKey(0), "condition": jax.random.PRNGKey(1)},
+            x, t, cond_a, train=True,
+        )
+        rngs = {"condition": jax.random.PRNGKey(9)}
+        out_a = dit.apply(params, x, t, cond_a, train=True, rngs=rngs)
+        out_null = dit.apply(params, x, t, cond_null, train=True, rngs=rngs)
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_null), atol=1e-6)
+
+    def test_forward_with_cfg_zero_scale_equals_uncond(self):
+        dit, params, x, t, cond = self._make()
+        x2 = jnp.concatenate([x, x], 0)
+        t2 = jnp.concatenate([t, t], 0)
+        cond2 = {"clusters": jnp.concatenate([cond["clusters"]] * 2)}
+        out = dit.apply(
+            params, x2, t2, cond2, {"clusters": 0.0}, method="forward_with_cfg"
+        )
+        uncond = dit.apply(
+            params, x2, t2, {"clusters": jnp.full((8,), 5)}, force_drop_ids=False
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(uncond), atol=1e-5)
+
+    def test_forward_with_cfg_halves(self):
+        """First half of CFG output is unconditional for any scale."""
+        dit, params, x, t, cond = self._make()
+        x2 = jnp.concatenate([x, x], 0)
+        t2 = jnp.concatenate([t, t], 0)
+        cond2 = {"clusters": jnp.concatenate([cond["clusters"]] * 2)}
+        out = dit.apply(
+            params, x2, t2, cond2, {"clusters": 2.0}, method="forward_with_cfg"
+        )
+        uncond = dit.apply(
+            params, x2, t2, {"clusters": jnp.full((8,), 5)}, force_drop_ids=False
+        )
+        np.testing.assert_allclose(np.asarray(out[:4]), np.asarray(uncond[:4]), atol=1e-5)
+
+    def test_joint_strategy(self):
+        dit = DiT(
+            n_embed=64, n_embed_input=16, n_layer=1, n_head=4, seq_len=16,
+            class_vocab_sizes={"cell_type": 3, "cytokine": 4},
+            cfg_dropout_prob=0.5, condition_strategy="joint",
+        )
+        x = jnp.ones((2, 16, 16))
+        t = jnp.full((2,), 0.5)
+        cond = {"cell_type": jnp.array([0, 1]), "cytokine": jnp.array([2, 3])}
+        params = dit.init(
+            {"params": jax.random.PRNGKey(0), "condition": jax.random.PRNGKey(1)},
+            x, t, cond, train=True,
+        )
+        out = dit.apply(params, x, t, cond, force_drop_ids=False)
+        assert out.shape == x.shape
