@@ -1,0 +1,316 @@
+"""Host-side data pipeline: sharded h5ad -> tokenized numpy batches.
+
+Replaces the reference's cellarium-ml DistributedAnnDataCollection +
+IterableDistributedAnnDataCollectionDataset + Lightning DataModule stack
+(reference src/scldm/datamodule.py:37-594) with a TPU-shaped design:
+
+- three storage modes: single train/test h5ad files, sharded directories
+  (adata_0.h5ad ... + metadata.json), or a list of files (tissue tree);
+- deterministic per-host partitioning of batch specs (host h of H takes specs
+  h::H) replacing cellarium's rank x worker split — resumable, epoch-reshuffled
+  with seed+epoch like set_epoch (reference models.py:89-98);
+- contiguous row-block reads against an LRU-cached pool of open shards
+  (max_cache_size parity, datamodule.py:315);
+- tokenization ("expressed" packing etc.) emits fixed-length arrays so every
+  downstream jit sees static shapes;
+- a background prefetch thread overlaps HDF5 IO + tokenization with device
+  compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections import OrderedDict
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from scldm_tpu.constants import ModelEnum
+from scldm_tpu.data.h5ad import H5ADFile, read_shard_metadata
+from scldm_tpu.data.tokenize import tokenize_cells
+
+
+def sort_h5ad_files(path: Path) -> List[str]:
+    """adata_0.h5ad, adata_1.h5ad, ... in numeric order (reference _utils.py:111-115)."""
+    return sorted(
+        [f.as_posix() for f in Path(path).glob("*.h5ad")],
+        key=lambda x: int(x.replace(".h5ad", "").split("_")[-1]),
+    )
+
+
+def train_val_split_list(files: List[str], seed: int) -> Tuple[List[int], List[int]]:
+    """Shard-level 10% val split, resampling only the first half of shards so the
+    (possibly short) last shard stays in train (reference datamodule.py:837-847)."""
+    rng = np.random.RandomState(seed)
+    n_files = len(files)
+    n_val = max(1, int(0.1 * n_files))
+    n_resample = n_files // 2
+    indices = np.arange(n_files)
+    resample = rng.permutation(n_resample)
+    train_idx = np.concatenate([resample[:-n_val], indices[n_resample:]])
+    return train_idx.tolist(), resample[-n_val:].tolist()
+
+
+class _ShardPool:
+    """LRU cache of open H5ADFile handles."""
+
+    def __init__(self, max_open: int = 10):
+        self.max_open = max_open
+        self._cache: OrderedDict[str, H5ADFile] = OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, path: str) -> H5ADFile:
+        with self._lock:
+            if path in self._cache:
+                self._cache.move_to_end(path)
+                return self._cache[path]
+            f = H5ADFile(path)
+            self._cache[path] = f
+            if len(self._cache) > self.max_open:
+                _, old = self._cache.popitem(last=False)
+                old.close()
+            return f
+
+
+class DataModule:
+    """Dataset orchestration + iterable batch sources.
+
+    Batch dict contract (collate parity, reference datamodule.py:597-649):
+      counts (B, G) f32, genes (B, G) i64, library_size (B, 1) f32,
+      [genes_subset/counts_subset (B, genes_seq_len)], plus one int64 column
+      per label in vocabulary_encoder.class_vocab_sizes.
+    """
+
+    def __init__(
+        self,
+        *,
+        vocabulary_encoder,
+        train_adata_path: Optional[str] = None,
+        test_adata_path: Optional[str] = None,
+        adata_attr: str = "X",
+        adata_key: Optional[str] = None,
+        batch_size: int = 128,
+        test_batch_size: int = 256,
+        seed: int = 42,
+        sample_genes: str = "expressed",
+        genes_seq_len: int = 2048,
+        val_as_test: bool = False,
+        val_fraction: float = 0.1,
+        drop_incomplete_batch: bool = True,
+        shuffle: bool = True,
+        max_cache_size: int = 10,
+        num_hosts: int = 1,
+        host_index: int = 0,
+        prefetch: int = 4,
+        allow_missing_train: bool = False,
+    ):
+        self.vocabulary_encoder = vocabulary_encoder
+        self.train_adata_path = train_adata_path
+        self.test_adata_path = test_adata_path
+        self.adata_attr = adata_attr
+        self.adata_key = adata_key
+        self.batch_size = batch_size
+        self.test_batch_size = test_batch_size
+        self.seed = seed
+        self.sample_genes = sample_genes
+        self.genes_seq_len = genes_seq_len
+        self.val_as_test = val_as_test
+        self.val_fraction = val_fraction
+        self.drop_incomplete_batch = drop_incomplete_batch
+        self.shuffle = shuffle
+        self.num_hosts = num_hosts
+        self.host_index = host_index
+        self.prefetch = prefetch
+        self.allow_missing_train = allow_missing_train
+
+        self._pool = _ShardPool(max_cache_size)
+        self._is_setup = False
+        self._adata_inference: Optional[str] = None
+        self.n_cells = 0
+
+    # -- discovery -------------------------------------------------------------
+    @staticmethod
+    def _resolve_files(path: Optional[str]) -> List[str]:
+        if path is None:
+            return []
+        p = Path(path)
+        if p.is_dir():
+            return sort_h5ad_files(p)
+        return [p.as_posix()]
+
+    def setup(self, stage: str = "fit") -> None:
+        train_files = self._resolve_files(self.train_adata_path)
+        test_files = self._resolve_files(self.test_adata_path)
+        if not train_files and not self.allow_missing_train and stage == "fit":
+            raise FileNotFoundError(f"no training h5ad at {self.train_adata_path}")
+
+        self._train_specs: List[Tuple[str, int, int]] = []  # (file, start, stop)
+        self._val_specs: List[Tuple[str, int, int]] = []
+        self._test_specs: List[Tuple[str, int, int]] = []
+
+        # n_cells from shard metadata when available (datamodule.py:86-91)
+        meta = (
+            read_shard_metadata(self.train_adata_path)
+            if self.train_adata_path and Path(self.train_adata_path).is_dir()
+            else None
+        )
+
+        if len(train_files) > 1:
+            # shard-level split (reference datamodule.py:302-335)
+            train_idx, val_idx = train_val_split_list(train_files, self.seed)
+            tr_files = [train_files[i] for i in train_idx]
+            va_files = [train_files[i] for i in val_idx]
+            self._train_specs = self._file_row_specs(tr_files, self.batch_size)
+            self._val_specs = self._file_row_specs(va_files, self.test_batch_size)
+        elif len(train_files) == 1:
+            # cell-level split within the single file (datamodule.py:337-375)
+            f = self._pool.get(train_files[0])
+            n = f.shape(self.adata_attr, self.adata_key)[0]
+            if self.val_as_test:
+                self._train_specs = self._row_specs(train_files[0], 0, n, self.batch_size)
+                self._val_specs = []
+            else:
+                n_val = int(self.val_fraction * n)
+                self._train_specs = self._row_specs(
+                    train_files[0], 0, n - n_val, self.batch_size
+                )
+                self._val_specs = self._row_specs(
+                    train_files[0], n - n_val, n, self.test_batch_size
+                )
+        if self.val_as_test and test_files:
+            self._val_specs = self._file_row_specs(test_files, self.test_batch_size)
+        if test_files:
+            self._test_specs = self._file_row_specs(test_files, self.test_batch_size)
+
+        if meta is not None:
+            self.n_cells = int(meta["n_cells"])
+        else:
+            self.n_cells = sum(s[2] - s[1] for s in self._train_specs)
+        self._is_setup = True
+
+    def _row_specs(self, path: str, lo: int, hi: int, bs: int) -> List[Tuple[str, int, int]]:
+        specs = []
+        start = lo
+        while start + bs <= hi:
+            specs.append((path, start, start + bs))
+            start += bs
+        if start < hi and not self.drop_incomplete_batch:
+            specs.append((path, start, hi))
+        return specs
+
+    def _file_row_specs(self, files: List[str], bs: int) -> List[Tuple[str, int, int]]:
+        specs = []
+        for path in files:
+            n = self._pool.get(path).shape(self.adata_attr, self.adata_key)[0]
+            specs.extend(self._row_specs(path, 0, n, bs))
+        return specs
+
+    # -- inference input (datamodule.py:116-198) ---------------------------------
+    @property
+    def adata_inference(self) -> Optional[str]:
+        return self._adata_inference
+
+    @adata_inference.setter
+    def adata_inference(self, path: str) -> None:
+        self._adata_inference = path
+
+    # -- batch materialization ----------------------------------------------------
+    def _make_batch(self, spec: Tuple[str, int, int], seed: Optional[int]) -> Dict[str, np.ndarray]:
+        path, lo, hi = spec
+        f = self._pool.get(path)
+        X = f.rows(slice(lo, hi), self.adata_attr, self.adata_key)
+        var_names = f.var_names
+        batch = tokenize_cells(
+            X,
+            var_names,
+            self.vocabulary_encoder,
+            genes_seq_len=self.genes_seq_len,
+            sample_genes=self.sample_genes,
+            seed=seed,
+        )
+        rows = np.arange(lo, hi)
+        for label in self.vocabulary_encoder.class_vocab_sizes:
+            values = f.obs_column(label, rows)
+            batch[label] = self.vocabulary_encoder.encode_metadata(values, label).astype(
+                np.int64
+            )
+        batch[ModelEnum.COUNTS.value] = batch[ModelEnum.COUNTS.value].astype(np.float32)
+        batch[ModelEnum.LIBRARY_SIZE.value] = batch[ModelEnum.LIBRARY_SIZE.value].astype(
+            np.float32
+        )
+        if ModelEnum.COUNTS_SUBSET.value in batch:
+            batch[ModelEnum.COUNTS_SUBSET.value] = batch[ModelEnum.COUNTS_SUBSET.value].astype(
+                np.float32
+            )
+        return batch
+
+    def _iter_specs(
+        self, specs: List[Tuple[str, int, int]], epoch: int, shuffle: bool
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(specs))
+        if shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        order = order[self.host_index :: self.num_hosts]
+
+        if self.prefetch <= 0:
+            for i in order:
+                yield self._make_batch(specs[i], seed=self.seed + epoch * 100_003 + int(i))
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for i in order:
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(specs[i], seed=self.seed + epoch * 100_003 + int(i)))
+            except Exception as e:  # surface pipeline errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    # -- public iterators ------------------------------------------------------
+    def train_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        assert self._is_setup, "call setup() first"
+        return self._iter_specs(self._train_specs, epoch, shuffle=self.shuffle)
+
+    def val_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        assert self._is_setup, "call setup() first"
+        return self._iter_specs(self._val_specs, 0, shuffle=False)
+
+    def test_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        assert self._is_setup, "call setup() first"
+        return self._iter_specs(self._test_specs, 0, shuffle=False)
+
+    def predict_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        """External inference AnnData (vocab gene filtering, datamodule.py:116-128)
+        if set, else the test set."""
+        if self._adata_inference is not None:
+            specs = self._file_row_specs([self._adata_inference], self.test_batch_size)
+            return self._iter_specs(specs, 0, shuffle=False)
+        return self.test_batches()
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return len(self._train_specs) // self.num_hosts
+
+    @property
+    def n_val_batches(self) -> int:
+        return len(self._val_specs) // self.num_hosts
