@@ -1,0 +1,268 @@
+"""Latent-diffusion training task (reference models.LatentDiffusion,
+models.py:384-939), functional edition.
+
+- The (frozen) VAE is the tokenizer: z = stop_gradient(vae.encode(batch)).
+- DiT + SiT velocity loss on z; optimizer only touches DiT params.
+- EMA of DiT params updated after every optimizer step (ema-pytorch parity).
+- `make_sample_fn` builds one jitted program containing the whole generation
+  path: size-factor sampling -> prior noise -> ODE integration with
+  doubled-batch CFG -> VAE decode -> NB count sampling.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scldm_tpu.constants import NON_CONDITION_KEYS, ModelEnum
+from scldm_tpu.nn.nnets import DiT
+from scldm_tpu.nn.vae import TransformerVAE
+from scldm_tpu.ops.distributions import nb_sample
+from scldm_tpu.sampling.size_factors import SizeFactorSampler
+from scldm_tpu.training.ema import EMAState, ema_init, ema_update
+from scldm_tpu.training.optim import wsd_schedule
+from scldm_tpu.training.state import TrainState, create_train_state
+from scldm_tpu.transport import Sampler, Transport
+
+COUNTS = ModelEnum.COUNTS.value
+GENES = ModelEnum.GENES.value
+LIB = ModelEnum.LIBRARY_SIZE.value
+C_SUB = ModelEnum.COUNTS_SUBSET.value
+G_SUB = ModelEnum.GENES_SUBSET.value
+
+
+def split_condition(batch: Dict, class_vocab_sizes: Dict[str, int]) -> Dict:
+    """Label columns = batch keys that are condition classes (models.py:648-651)."""
+    return {
+        k: batch[k]
+        for k in batch
+        if k not in NON_CONDITION_KEYS and k in class_vocab_sizes
+    }
+
+
+class LDMTask:
+    def __init__(
+        self,
+        vae: TransformerVAE,
+        vae_params,
+        dit: DiT,
+        transport: Transport,
+        *,
+        learning_rate: float = 5e-4,
+        betas: Tuple[float, float] = (0.9, 0.999),
+        weight_decay: float = 0.0,
+        grad_clip: float = 10.0,
+        num_training_steps: int = 10_000,
+        num_warmup_steps: Optional[int] = None,
+        final_lr_factor: float = 0.1,
+        fract_decay: float = 1.0,
+        decay_type: str = "cosine",
+        ema_decay: float = 0.9999,
+        ema_update_every: int = 10,
+        ema_update_after_step: int = 10_000,
+        train_vae: bool = False,
+        mesh: Optional[Mesh] = None,
+    ):
+        assert not train_vae, "joint VAE finetuning not implemented (frozen-tokenizer parity)"
+        self.vae = vae
+        self.vae_params = vae_params
+        self.dit = dit
+        self.transport = transport
+        self.transport_sampler = Sampler(transport)
+        self.mesh = mesh
+        self.ema_cfg = dict(
+            beta=ema_decay,
+            update_every=ema_update_every,
+            update_after_step=ema_update_after_step,
+        )
+        if num_warmup_steps is None:
+            num_warmup_steps = max(1, int(0.1 * num_training_steps))
+        self.schedule = wsd_schedule(
+            num_training_steps=num_training_steps,
+            final_lr_factor=final_lr_factor,
+            num_warmup_steps=num_warmup_steps,
+            fract_decay=fract_decay,
+            decay_type=decay_type,
+        )
+        # LDM uses stock AdamW (ldm_base.yaml:36-39) — optax.adamw matches
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(
+                learning_rate=lambda c: learning_rate * self.schedule(c),
+                b1=betas[0],
+                b2=betas[1],
+                weight_decay=weight_decay,
+            ),
+        )
+
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            self._train_step = jax.jit(
+                self._train_step_impl, donate_argnums=(0,), out_shardings=(repl, repl)
+            )
+        else:
+            self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl, static_argnames=("use_ema",))
+
+    # -- init -------------------------------------------------------------------
+    def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
+        seq_len = self.dit.seq_len
+        latent = self.dit.n_embed_input
+        x = jnp.zeros((int(example_batch[COUNTS].shape[0]), seq_len, latent))
+        t = jnp.zeros((x.shape[0],))
+        condition = split_condition(
+            {k: jnp.asarray(v) for k, v in example_batch.items()},
+            self.dit.class_vocab_sizes or {},
+        )
+        params = self.dit.init(
+            {"params": rng, "condition": rng}, x, t, condition, train=True
+        )
+        state = create_train_state(rng, params, self.tx, ema=ema_init(params["params"]))
+        if self.mesh is not None:
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
+
+    # -- internals -----------------------------------------------------------------
+    def _encode(self, batch: Dict) -> jax.Array:
+        z = self.vae.apply(
+            self.vae_params,
+            counts=batch[COUNTS],
+            genes=batch[GENES],
+            counts_subset=batch.get(C_SUB),
+            genes_subset=batch.get(G_SUB),
+            method="encode",
+        )
+        return jax.lax.stop_gradient(z)
+
+    def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        rng, rng_t, rng_c = jax.random.split(state.rng, 3)
+        z = self._encode(batch)
+        condition = split_condition(batch, self.dit.class_vocab_sizes or {})
+
+        def loss_fn(params):
+            def model_fn(xt, t, condition):
+                return self.dit.apply(
+                    params,
+                    xt,
+                    t,
+                    condition,
+                    train=True,
+                    rngs={"condition": rng_c},
+                )
+
+            terms = self.transport.training_losses(
+                model_fn, rng_t, z, {"condition": condition}
+            )
+            return terms["loss"].mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params["params"], **self.ema_cfg)
+        mets = {
+            "train_loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "lr_mult": self.schedule(state.step),
+        }
+        return (
+            state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng, ema=ema),
+            mets,
+        )
+
+    def _eval_step_impl(
+        self, params, ema_params, batch: Dict, rng: jax.Array, use_ema: bool = False
+    ) -> Dict:
+        rng_t, rng_c = jax.random.split(rng)
+        z = self._encode(batch)
+        condition = split_condition(batch, self.dit.class_vocab_sizes or {})
+        p = {"params": ema_params} if use_ema else params
+
+        def model_fn(xt, t, condition):
+            return self.dit.apply(
+                p, xt, t, condition, train=False, rngs={"condition": rng_c}
+            )
+
+        terms = self.transport.training_losses(model_fn, rng_t, z, {"condition": condition})
+        prefix = "val_ema" if use_ema else "val"
+        return {f"{prefix}_loss": terms["loss"].mean(), f"{prefix}_diff": terms["loss"].mean()}
+
+    # -- public API -------------------------------------------------------------------
+    def train_step(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        return self._train_step(state, batch)
+
+    def eval_step(self, state: TrainState, batch: Dict, rng: jax.Array, ema: bool = False):
+        return self._eval_step(state.params, state.ema.params, batch, rng, use_ema=ema)
+
+    # -- generation (models.py:766-819) ---------------------------------------------
+    def make_sample_fn(
+        self,
+        size_factor_sampler: SizeFactorSampler,
+        *,
+        guidance_weight: Optional[Dict[str, float]] = None,
+        sampling_method: str = "dopri5",
+        num_steps: int = 50,
+        use_ema: bool = True,
+    ):
+        """One jitted program: noise -> CFG ODE -> decode -> NB counts.
+
+        Returned fn(params_or_state, rng, genes, condition) ->
+        (counts (2B, G), z (2B, M, E)): first half unconditional, second half
+        conditional — the reference's doubled-batch output convention.
+        """
+        sample_ode = self.transport_sampler.sample_ode(
+            sampling_method=sampling_method, num_steps=num_steps
+        )
+        latent = self.vae.encoder.latent_embedding
+        seq_len = self.dit.seq_len
+
+        @jax.jit
+        def sample_fn(dit_params, rng, genes, condition):
+            batch_size = genes.shape[0]
+            k_sf, k_z, k_nb = jax.random.split(rng, 3)
+            log_sf = size_factor_sampler.sample(k_sf, condition, batch_size)
+            z0 = jax.random.normal(k_z, (batch_size, seq_len, latent), jnp.float32)
+            z_cfg = jnp.concatenate([z0, z0], axis=0)
+            condition_cfg = (
+                {k: jnp.concatenate([v, v], 0) for k, v in condition.items()}
+                if condition
+                else None
+            )
+
+            def model_fn(x, t, condition=None):
+                return self.dit.apply(
+                    dit_params,
+                    x,
+                    t,
+                    condition,
+                    cfg_scale=guidance_weight,
+                    method="forward_with_cfg",
+                )
+
+            samples = sample_ode(z_cfg, model_fn, condition=condition_cfg)
+
+            genes_cfg = jnp.concatenate([genes, genes], axis=0)
+            sf = jnp.exp(log_sf).reshape(-1, 1)
+            sf_cfg = jnp.concatenate([sf, sf], axis=0)
+            out = self.vae.apply(
+                self.vae_params, samples, genes_cfg, sf_cfg, method="decode"
+            )
+            counts = nb_sample(k_nb, out["mu"], out["theta"])
+            return counts, samples
+
+        def wrapped(state_or_params, rng, genes, condition=None):
+            if isinstance(state_or_params, TrainState):
+                p = (
+                    {"params": state_or_params.ema.params}
+                    if use_ema
+                    else state_or_params.params
+                )
+            else:
+                p = state_or_params
+            return sample_fn(p, rng, genes, condition or {})
+
+        return wrapped

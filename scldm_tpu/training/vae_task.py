@@ -1,0 +1,196 @@
+"""VAE training task: loss, jitted train/eval steps, DP over the mesh.
+
+Replaces the reference `models.VAE` LightningModule (models.py:169-381) with a
+functional task: one donated jitted train step (forward + NB NLL + AdamWLegacy
+update + schedule) whose batch axis is sharded over the mesh "data" axis —
+XLA's psum on the mean-reduced loss/grads is the DDP all-reduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scldm_tpu.constants import ModelEnum
+from scldm_tpu.nn.heads import GaussianTransformerHead
+from scldm_tpu.nn.vae import TransformerVAE
+from scldm_tpu.ops.distributions import log_gaussian, log_nb_positive, nb_sample
+from scldm_tpu.ops.transforms import log1p_cpm
+from scldm_tpu.training import metrics as M
+from scldm_tpu.training.optim import adamw_legacy, wsd_schedule
+from scldm_tpu.training.state import TrainState, create_train_state
+
+COUNTS = ModelEnum.COUNTS.value
+GENES = ModelEnum.GENES.value
+LIB = ModelEnum.LIBRARY_SIZE.value
+C_SUB = ModelEnum.COUNTS_SUBSET.value
+G_SUB = ModelEnum.GENES_SUBSET.value
+
+
+def vae_loss(
+    counts: jax.Array, params: Dict[str, jax.Array], gaussian_head: bool
+) -> jax.Array:
+    """Reconstruction loss, summed over genes, averaged over the batch
+    (reference models.py:233-247)."""
+    if gaussian_head:
+        y = log1p_cpm(counts)
+        recon = log_gaussian(y, params["mu"])
+    else:
+        recon = -log_nb_positive(counts, params["mu"], params["theta"])
+    return recon.sum(axis=1).mean()
+
+
+class VAETask:
+    """Owns the model + optimizer + compiled steps. Pure-state in/out."""
+
+    def __init__(
+        self,
+        vae: TransformerVAE,
+        *,
+        learning_rate: float = 1e-3,
+        betas: Tuple[float, float] = (0.9, 0.95),
+        weight_decay: float = 0.0,
+        caution: bool = False,
+        grad_clip: float = 10.0,
+        num_training_steps: int = 10_000,
+        num_warmup_steps: Optional[int] = None,
+        final_lr_factor: float = 0.1,
+        init_div_factor: float = 100,
+        fract_decay: float = 0.1,
+        decay_type: str = "sqrt",
+        mesh: Optional[Mesh] = None,
+    ):
+        self.vae = vae
+        self.gaussian_head = isinstance(vae.decoder_head, GaussianTransformerHead)
+        self.mesh = mesh
+        if num_warmup_steps is None:
+            num_warmup_steps = max(1, int(0.1 * num_training_steps))  # _utils.py:96-106
+        schedule = wsd_schedule(
+            num_training_steps=num_training_steps,
+            final_lr_factor=final_lr_factor,
+            num_warmup_steps=num_warmup_steps,
+            init_div_factor=init_div_factor,
+            fract_decay=fract_decay,
+            decay_type=decay_type,
+        )
+        self.schedule = schedule
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            adamw_legacy(
+                learning_rate=lambda c: learning_rate * schedule(c),
+                betas=betas,
+                weight_decay=weight_decay,
+                caution=caution,
+            ),
+        )
+
+        if mesh is not None:
+            # batch arrives device_put with P("data") (see parallel.shard_batch);
+            # pinning outputs replicated keeps params/metrics DDP-style
+            repl = NamedSharding(mesh, P())
+            self._train_step = jax.jit(
+                self._train_step_impl, donate_argnums=(0,), out_shardings=(repl, repl)
+            )
+        else:
+            self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # -- init -----------------------------------------------------------------
+    def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
+        params = self.vae.init(
+            rng,
+            counts=jnp.asarray(example_batch[COUNTS]),
+            genes=jnp.asarray(example_batch[GENES]),
+            library_size=jnp.asarray(example_batch[LIB]),
+            counts_subset=jnp.asarray(example_batch.get(C_SUB, example_batch[COUNTS])),
+            genes_subset=jnp.asarray(example_batch.get(G_SUB, example_batch[GENES])),
+        )
+        state = create_train_state(rng, params, self.tx)
+        if self.mesh is not None:
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
+
+    def _apply(self, params, batch, train: bool):
+        return self.vae.apply(
+            params,
+            counts=batch[COUNTS],
+            genes=batch[GENES],
+            library_size=batch[LIB],
+            counts_subset=batch.get(C_SUB, batch[COUNTS]),
+            genes_subset=batch.get(G_SUB, batch[GENES]),
+            train=train,
+        )
+
+    # -- steps -----------------------------------------------------------------
+    def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        def loss_fn(params):
+            out, _ = self._apply(params, batch, train=True)
+            loss = vae_loss(batch[COUNTS], out, self.gaussian_head)
+            aux = {"llh": loss}
+            if "theta" in out:
+                aux["theta"] = out["theta"].mean()
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        mets = {
+            "train_loss": loss,
+            "train_llh": aux["llh"],
+            "grad_norm": optax.global_norm(grads),
+            "lr_mult": self.schedule(state.step),
+        }
+        if "theta" in aux:
+            mets["train_theta"] = aux["theta"]
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, mets
+
+    def _eval_step_impl(self, params, batch: Dict, rng: jax.Array) -> Dict:
+        """Validation metrics (reference models.py:289-333): loss, theta,
+        zeros-accuracy, MSE/PCC on log1p-CPM-scaled sampled counts."""
+        out, _ = self._apply(params, batch, train=False)
+        counts = batch[COUNTS]
+        loss = vae_loss(counts, out, self.gaussian_head)
+        mets = {"val_loss": loss, "val_llh": loss}
+        if self.gaussian_head:
+            counts_pred = out["mu"]
+            pred_scaled = counts_pred
+        else:
+            mets["val_theta"] = out["theta"].mean()
+            counts_pred = nb_sample(rng, out["mu"], out["theta"])
+            pred_scaled = log1p_cpm(counts_pred)
+        true_scaled = log1p_cpm(counts)
+        mets["val_zeros_accuracy"] = M.zeros_accuracy(counts_pred, counts)
+        mets["val_mse"] = M.mse(pred_scaled, true_scaled)
+        mets["val_pcc"] = M.nanmean(M.pearson_corrcoef(pred_scaled, true_scaled))
+        return mets
+
+    # -- public API --------------------------------------------------------------
+    def train_step(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        return self._train_step(state, batch)
+
+    def eval_step(self, state: TrainState, batch: Dict, rng: jax.Array) -> Dict:
+        return self._eval_step(state.params, batch, rng)
+
+    def encode(self, params, batch) -> jax.Array:
+        return self.vae.apply(
+            params,
+            counts=batch[COUNTS],
+            genes=batch[GENES],
+            counts_subset=batch.get(C_SUB),
+            genes_subset=batch.get(G_SUB),
+            method="encode",
+        )
+
+    def reconstruct(self, params, batch, rng) -> jax.Array:
+        out, z = self._apply(params, batch, train=False)
+        if self.gaussian_head:
+            return out["mu"], z
+        return nb_sample(rng, out["mu"], out["theta"]), z

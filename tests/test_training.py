@@ -1,0 +1,313 @@
+"""Training stack tests: schedule, optimizer, EMA, metrics, end-to-end tasks,
+multi-device data-parallel parity, checkpoint roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from scldm_tpu.nn import DiT
+from scldm_tpu.nn.vae import build_transformer_vae
+from scldm_tpu.parallel.mesh import make_mesh, shard_batch
+from scldm_tpu.sampling.size_factors import SizeFactorSampler
+from scldm_tpu.training import metrics as M
+from scldm_tpu.training.checkpoint import CheckpointManager
+from scldm_tpu.training.ema import current_decay, ema_init, ema_update
+from scldm_tpu.training.ldm_task import LDMTask
+from scldm_tpu.training.optim import adamw_legacy, wsd_schedule
+from scldm_tpu.training.vae_task import VAETask
+from scldm_tpu.transport import create_transport
+
+N_GENES = 40
+B = 16
+
+
+def make_batch(key, n_genes=N_GENES, batch=B):
+    counts = jax.random.poisson(key, 2.0, (batch, n_genes)).astype(jnp.float32)
+    genes = jnp.tile(jnp.arange(1, n_genes + 1)[None], (batch, 1))
+    return {
+        "counts": counts,
+        "genes": genes,
+        "library_size": counts.sum(1, keepdims=True),
+        "counts_subset": counts[:, :20],
+        "genes_subset": genes[:, :20],
+        "clusters": jax.random.randint(key, (batch,), 0, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# wsd schedule (reference _utils.py:19-59)
+# ---------------------------------------------------------------------------
+class TestWSD:
+    def test_phases(self):
+        s = wsd_schedule(1000, final_lr_factor=0.1, num_warmup_steps=100, fract_decay=0.2)
+        assert float(s(0)) == pytest.approx(1 / 100)  # init_div_factor
+        assert float(s(50)) == pytest.approx(0.5 + 0.5 / 100)
+        assert float(s(100)) == pytest.approx(1.0)
+        assert float(s(500)) == pytest.approx(1.0)  # hold until 800
+        assert 0.1 < float(s(900)) < 1.0  # decaying
+        assert float(s(2000)) == pytest.approx(0.1)
+
+    def test_sqrt_decay(self):
+        s = wsd_schedule(1000, num_warmup_steps=100, fract_decay=0.1, decay_type="sqrt")
+        # at n_hold + n_anneal/4 -> 0.1 + 0.9*(1-0.5)
+        assert float(s(925)) == pytest.approx(0.1 + 0.9 * (1 - 0.5), rel=1e-4)
+
+    def test_cosine_midpoint(self):
+        s = wsd_schedule(1000, num_warmup_steps=0, fract_decay=1.0, decay_type="cosine")
+        assert float(s(500)) == pytest.approx(0.1 + 0.9 * 0.5, rel=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# AdamWLegacy
+# ---------------------------------------------------------------------------
+class TestAdamWLegacy:
+    def test_matches_reference_torch_impl(self):
+        """Step-by-step parity against the reference timm-style update rule,
+        re-derived in numpy (optimizers.py:85-140)."""
+        lr, wd, b1, b2, eps = 0.1, 0.01, 0.9, 0.95, 1e-8
+        p0 = np.array([1.0, -2.0, 3.0], np.float32)
+        tx = adamw_legacy(lr, (b1, b2), eps, wd)
+        params = {"w": jnp.array(p0)}
+        state = tx.init(params)
+
+        p = p0.copy()
+        m = np.zeros_like(p)
+        v = np.zeros_like(p)
+        rng = np.random.default_rng(0)
+        for step in range(1, 6):
+            g = rng.normal(size=3).astype(np.float32)
+            updates, state = tx.update({"w": jnp.array(g)}, state, params)
+            params = optax.apply_updates(params, updates)
+            # numpy reference
+            p *= 1 - lr * wd
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            bc1, bc2 = 1 - b1**step, 1 - b2**step
+            denom = np.sqrt(v) / np.sqrt(bc2) + eps
+            p -= lr / bc1 * m / denom
+            np.testing.assert_allclose(np.asarray(params["w"]), p, rtol=1e-5, atol=1e-6)
+
+    def test_caution_masks_disagreeing_updates(self):
+        tx = adamw_legacy(0.1, (0.9, 0.95), caution=True, weight_decay=0.0)
+        params = {"w": jnp.array([1.0, 1.0])}
+        state = tx.init(params)
+        # first step: m = 0.1*g, same sign as g -> full update both coords
+        updates, state = tx.update({"w": jnp.array([1.0, 1.0])}, state, params)
+        # second step: small opposite gradient on coord 1 keeps m positive but
+        # makes m*g < 0 there -> cautious mask zeroes that coordinate
+        updates, state = tx.update({"w": jnp.array([1.0, -0.01])}, state, params)
+        u = np.asarray(updates["w"])
+        assert u[0] < 0  # still descending
+        assert u[1] == 0  # cautious mask zeroed it
+
+    def test_converges_on_quadratic(self):
+        tx = adamw_legacy(0.05, (0.9, 0.95), weight_decay=0.0)
+        params = jnp.array([5.0, -3.0])
+        state = tx.init(params)
+        for _ in range(500):
+            g = 2 * params
+            upd, state = tx.update(g, state, params)
+            params = optax.apply_updates(params, upd)
+        np.testing.assert_allclose(np.asarray(params), 0.0, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# EMA (ema-pytorch semantics)
+# ---------------------------------------------------------------------------
+class TestEMA:
+    def test_copies_before_update_after_step(self):
+        assert float(current_decay(jnp.array(5), update_after_step=100)) == 0.0
+
+    def test_decay_ramp_and_clamp(self):
+        d_early = float(current_decay(jnp.array(105), beta=0.9999, update_after_step=100))
+        d_late = float(current_decay(jnp.array(1_000_000), beta=0.9999, update_after_step=100))
+        assert 0 < d_early < 0.9
+        assert d_late == pytest.approx(0.9999)
+
+    def test_update_every_gating(self):
+        params = {"w": jnp.array([0.0])}
+        ema = ema_init(params)
+        # steps 1..9 with update_every=10: no update happens until step 10
+        for i in range(9):
+            ema = ema_update(ema, {"w": jnp.array([1.0])}, update_every=10, update_after_step=0)
+            assert float(ema.params["w"][0]) == 0.0
+        ema = ema_update(ema, {"w": jnp.array([1.0])}, update_every=10, update_after_step=0)
+        assert float(ema.params["w"][0]) > 0.0  # blended at step 10
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+class TestMetrics:
+    def test_pcc_matches_scipy(self, rng):
+        from scipy.stats import pearsonr
+
+        x = rng.normal(size=(50, 4)).astype(np.float32)
+        y = rng.normal(size=(50, 4)).astype(np.float32)
+        got = np.asarray(M.pearson_corrcoef(jnp.array(x), jnp.array(y)))
+        want = [pearsonr(x[:, i], y[:, i]).statistic for i in range(4)]
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_pcc_constant_column_nan(self):
+        x = jnp.ones((10, 2))
+        y = jnp.ones((10, 2))
+        assert np.isnan(np.asarray(M.pearson_corrcoef(x, y))).all()
+
+    def test_r2(self, rng):
+        from sklearn.metrics import r2_score as sk_r2
+
+        p = rng.normal(size=20).astype(np.float32)
+        t = rng.normal(size=20).astype(np.float32)
+        assert float(M.r2_score(jnp.array(p), jnp.array(t))) == pytest.approx(
+            sk_r2(t, p), rel=1e-4
+        )
+
+    def test_zeros_accuracy(self):
+        p = jnp.array([[0.0, 1.0], [2.0, 0.0]])
+        t = jnp.array([[0.0, 1.0], [0.0, 3.0]])
+        assert float(M.zeros_accuracy(p, t)) == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# VAE task end-to-end
+# ---------------------------------------------------------------------------
+class TestVAETask:
+    def _task(self, mesh=None):
+        vae = build_transformer_vae(
+            n_genes=N_GENES, n_embed=16, n_embed_latent=8, n_layer=1,
+            n_inducing_points=4, n_head=2, n_head_cross=2,
+        )
+        return VAETask(vae, num_training_steps=100, learning_rate=1e-3, mesh=mesh)
+
+    def test_loss_decreases(self):
+        task = self._task()
+        batch = make_batch(jax.random.PRNGKey(0))
+        state = task.init_state(jax.random.PRNGKey(1), batch)
+        state, m0 = task.train_step(state, batch)
+        for _ in range(30):
+            state, m = task.train_step(state, batch)
+        assert float(m["train_loss"]) < float(m0["train_loss"])
+        assert int(state.step) == 31
+
+    def test_eval_metrics_present(self):
+        task = self._task()
+        batch = make_batch(jax.random.PRNGKey(0))
+        state = task.init_state(jax.random.PRNGKey(1), batch)
+        mets = task.eval_step(state, batch, jax.random.PRNGKey(2))
+        for k in ("val_loss", "val_zeros_accuracy", "val_mse", "val_pcc", "val_theta"):
+            assert k in mets
+        assert np.isfinite(float(mets["val_loss"]))
+
+    def test_dp_parity_with_mesh(self):
+        """Same data, same init: loss identical with and without an 8-device
+        mesh (the multi-node equivalence test the reference never had)."""
+        batch = make_batch(jax.random.PRNGKey(0))
+        task1 = self._task(mesh=None)
+        state1 = task1.init_state(jax.random.PRNGKey(1), batch)
+        _, m1 = task1.train_step(state1, batch)
+
+        mesh = make_mesh()
+        assert mesh.shape["data"] == 8
+        task8 = self._task(mesh=mesh)
+        state8 = task8.init_state(jax.random.PRNGKey(1), batch)
+        sharded = shard_batch(batch, mesh)
+        _, m8 = task8.train_step(state8, sharded)
+        assert float(m1["train_loss"]) == pytest.approx(float(m8["train_loss"]), rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# LDM task end-to-end
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ldm_setup():
+    vae = build_transformer_vae(
+        n_genes=N_GENES, n_embed=16, n_embed_latent=8, n_layer=1,
+        n_inducing_points=4, n_head=2, n_head_cross=2,
+    )
+    batch = make_batch(jax.random.PRNGKey(0))
+    vae_params = vae.init(
+        jax.random.PRNGKey(0),
+        counts=batch["counts"], genes=batch["genes"],
+        library_size=batch["library_size"],
+        counts_subset=batch["counts_subset"], genes_subset=batch["genes_subset"],
+    )
+    dit = DiT(
+        n_embed=32, n_embed_input=8, n_layer=2, n_head=4, seq_len=4,
+        class_vocab_sizes={"clusters": 3}, cfg_dropout_prob=0.8,
+    )
+    task = LDMTask(
+        vae, vae_params, dit, create_transport(),
+        num_training_steps=100, ema_update_after_step=0, ema_update_every=1,
+    )
+    # each test makes a fresh state: train_step donates its input state
+    return task, lambda: task.init_state(jax.random.PRNGKey(3), batch), batch
+
+
+class TestLDMTask:
+    def test_train_loss_decreases(self, ldm_setup):
+        task, init, batch = ldm_setup
+        state = init()
+        state, m0 = task.train_step(state, batch)
+        for _ in range(40):
+            state, m = task.train_step(state, batch)
+        assert float(m["train_loss"]) < float(m0["train_loss"])
+
+    def test_eval_raw_and_ema(self, ldm_setup):
+        task, init, batch = ldm_setup
+        state = init()
+        state, _ = task.train_step(state, batch)
+        m_raw = task.eval_step(state, batch, jax.random.PRNGKey(5))
+        m_ema = task.eval_step(state, batch, jax.random.PRNGKey(5), ema=True)
+        assert "val_loss" in m_raw and "val_ema_loss" in m_ema
+
+    def test_sample_fn_shapes_and_cfg_halves(self, ldm_setup):
+        task, init, batch = ldm_setup
+        state = init()
+        state, _ = task.train_step(state, batch)
+        sfs = SizeFactorSampler.__new__(SizeFactorSampler)
+        sfs.strategy = "mutually_exclusive"
+        sfs.tables = {}
+        sfs.joint_table = None
+        sfs.joint_components = None
+        fn = task.make_sample_fn(
+            sfs, guidance_weight={"clusters": 1.0},
+            sampling_method="euler", num_steps=5,
+        )
+        counts, z = fn(state, jax.random.PRNGKey(7), batch["genes"], {"clusters": batch["clusters"]})
+        assert counts.shape == (2 * B, N_GENES)
+        assert z.shape == (2 * B, 4, 8)
+        assert (np.asarray(counts) >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# checkpoint roundtrip
+# ---------------------------------------------------------------------------
+def test_checkpoint_roundtrip(tmp_path):
+    vae = build_transformer_vae(
+        n_genes=N_GENES, n_embed=16, n_embed_latent=8, n_layer=1,
+        n_inducing_points=4, n_head=2, n_head_cross=2,
+    )
+    task = VAETask(vae, num_training_steps=10)
+    batch = make_batch(jax.random.PRNGKey(0))
+    state = task.init_state(jax.random.PRNGKey(1), batch)
+    state, _ = task.train_step(state, batch)
+
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(int(state.step), state)
+    mgr.save_config({"n_genes": N_GENES})
+
+    template = task.init_state(jax.random.PRNGKey(1), batch)
+    restored, step = mgr.maybe_restore(template)
+    assert step == 1
+    restored_leaf = jax.tree_util.tree_leaves(restored.params)[0]
+    orig_leaf = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_allclose(np.asarray(restored_leaf), np.asarray(orig_leaf))
+    assert mgr.load_config()["n_genes"] == N_GENES
+
+    # training continues identically from the restored state
+    _, m_a = task.train_step(state, batch)
+    _, m_b = task.train_step(restored, batch)
+    assert float(m_a["train_loss"]) == pytest.approx(float(m_b["train_loss"]), rel=1e-6)
+    mgr.close()
