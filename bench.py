@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Headline benchmark: VAE training throughput (cells/sec) on dentate-gyrus
+shapes (n_genes=17002, genes_seq_len=6147, batch=128 — reference
+experiments/configs defaults), bf16 compute on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is measured against an equivalent PyTorch implementation run on
+this host (benchmarks/torch_baseline.py) since the reference publishes no
+numbers; the torch measurement is cached in .bench_baseline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 128
+N_GENES = 17_002
+SEQ_LEN = 6_147
+STEPS = 20
+BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
+
+
+def synth_batch(rng: np.random.Generator):
+    # dentate-gyrus-like sparsity: ~2k expressed genes per cell
+    counts = np.zeros((BATCH, N_GENES), np.float32)
+    for i in range(BATCH):
+        nnz = rng.integers(1500, 4000)
+        idx = rng.choice(N_GENES, size=nnz, replace=False)
+        counts[i, idx] = rng.poisson(3.0, size=nnz) + 1
+    genes = np.tile(np.arange(1, N_GENES + 1, dtype=np.int64)[None], (BATCH, 1))
+    genes_sub = np.zeros((BATCH, SEQ_LEN), np.int64)
+    counts_sub = np.zeros((BATCH, SEQ_LEN), np.float32)
+    for i in range(BATCH):
+        nz = np.nonzero(counts[i])[0]
+        genes_sub[i, : len(nz)] = genes[i, nz]
+        counts_sub[i, : len(nz)] = counts[i, nz]
+    return {
+        "counts": counts,
+        "genes": genes,
+        "library_size": counts.sum(1, keepdims=True),
+        "counts_subset": counts_sub,
+        "genes_subset": genes_sub,
+    }
+
+
+def measure_ours() -> float:
+    from scldm_tpu.nn.vae import build_transformer_vae
+    from scldm_tpu.parallel.mesh import make_mesh, shard_batch
+    from scldm_tpu.training.vae_task import VAETask
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
+    vae = build_transformer_vae(n_genes=N_GENES, dtype=jnp.bfloat16)
+    task = VAETask(vae, num_training_steps=10_000, mesh=mesh)
+    batch = synth_batch(np.random.default_rng(0))
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    if mesh is not None:
+        batch = shard_batch(batch, mesh)
+    else:
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    # warmup / compile
+    for _ in range(3):
+        state, metrics = task.train_step(state, batch)
+    jax.block_until_ready(metrics["train_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = task.train_step(state, batch)
+    jax.block_until_ready(metrics["train_loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(metrics["train_loss"]))
+    return BATCH * STEPS / dt
+
+
+def measure_baseline() -> float | None:
+    if BASELINE_CACHE.exists():
+        try:
+            return json.loads(BASELINE_CACHE.read_text())["torch_cells_per_sec"]
+        except Exception:
+            pass
+    try:
+        from benchmarks.torch_baseline import measure_torch_cells_per_sec
+
+        val = measure_torch_cells_per_sec(BATCH, N_GENES, SEQ_LEN, steps=2)
+        BASELINE_CACHE.write_text(json.dumps({"torch_cells_per_sec": val}))
+        return val
+    except Exception:
+        return None
+
+
+def main():
+    ours = measure_ours()
+    base = measure_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "vae_train_cells_per_sec",
+                "value": round(ours, 1),
+                "unit": "cells/s",
+                "vs_baseline": round(ours / base, 2) if base else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

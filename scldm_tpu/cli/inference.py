@@ -1,0 +1,129 @@
+"""Generation / latent-inference entry point (reference experiments/scripts/inference.py).
+
+Two modes, selected by the config (generation.yaml vs inference.yaml):
+- generation_args set: sample cells with CFG from the trained LDM, write
+  {dataset}_generated_{i}.h5ad with unconditional/conditional halves;
+- inference_args set: encode (and optionally reconstruct) the test or external
+  AnnData, write {dataset}_inference_{i}.h5ad with z in obsm.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from scldm_tpu.config.build import (
+    build_datamodule,
+    build_dit,
+    build_ldm_task,
+    build_vocabulary_encoder,
+)
+from scldm_tpu.config.loader import load_config, merge_overrides, resolve
+from scldm_tpu.constants import NON_CONDITION_KEYS, ModelEnum
+from scldm_tpu.sampling.size_factors import SizeFactorSampler
+from scldm_tpu.training.checkpoint import CheckpointManager
+from scldm_tpu.utils.logger import logger
+from scldm_tpu.utils.output import (
+    create_anndata_from_inference_output,
+    process_generation_output,
+)
+
+DEFAULT_CONFIG = Path(__file__).parent.parent.parent / "configs" / "generation.yaml"
+COUNTS = ModelEnum.COUNTS.value
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=str(DEFAULT_CONFIG))
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv if argv is not None else sys.argv[1:])
+    cfg = resolve(merge_overrides(load_config(args.config), args.overrides))
+
+    vocab = build_vocabulary_encoder(cfg)
+    datamodule = build_datamodule(cfg, vocab)
+    if cfg.get("adata_inference"):
+        datamodule.allow_missing_train = True
+        datamodule.adata_inference = cfg["adata_inference"]
+    datamodule.setup("predict")
+
+    # restore LDM state (DiT params + EMA) and the frozen VAE
+    from scldm_tpu.cli.train_ldm import load_vae_from_checkpoint
+
+    example = next(iter(datamodule.predict_batches()))
+    vae, vae_params = load_vae_from_checkpoint(cfg, example)
+    dit = build_dit(cfg)
+    task = build_ldm_task(cfg, vae, vae_params, dit, max_steps=1)
+    mgr = CheckpointManager(cfg["checkpoint_dir"])
+    state = mgr.restore(task.init_state(jax.random.PRNGKey(0), example))
+
+    out_dir = Path(cfg["paths"]["inference_path"])
+    out_dir.mkdir(parents=True, exist_ok=True)
+    dataset = cfg["datamodule"]["dataset"]
+
+    gen_args = cfg.get("generation_args")
+    if gen_args:
+        sfs = SizeFactorSampler(vocab, vocab.condition_strategy)
+        sample_fn = task.make_sample_fn(
+            sfs,
+            guidance_weight=gen_args.get("guidance_weight"),
+            sampling_method=gen_args.get("sampling_method", "dopri5"),
+            num_steps=int(gen_args.get("timesteps", 50)),
+            use_ema=bool(gen_args.get("use_ema", True)),
+        )
+        batches = []
+        n_batches = int(gen_args.get("n_batches", 4))
+        for i, batch in enumerate(datamodule.predict_batches()):
+            if i >= n_batches:
+                break
+            condition = {
+                k: jax.numpy.asarray(v)
+                for k, v in batch.items()
+                if k not in NON_CONDITION_KEYS and k in vocab.class_vocab_sizes
+            }
+            counts, z = sample_fn(
+                state, jax.random.PRNGKey(1000 + i), jax.numpy.asarray(batch["genes"]), condition
+            )
+            half = len(batch["genes"])
+            out = dict(batch)
+            out[f"{COUNTS}_generated_unconditional"] = np.asarray(counts[:half])
+            out[f"{COUNTS}_generated_conditional"] = np.asarray(counts[half:])
+            out["z_generated_unconditional"] = np.asarray(z[:half]).reshape(half, -1)
+            out["z_generated_conditional"] = np.asarray(z[half:]).reshape(half, -1)
+            batches.append(out)
+            logger.info(f"generated batch {i + 1}/{n_batches}")
+        path = process_generation_output(batches, vocab, out_dir, dataset=dataset)
+        logger.info(f"wrote {path}")
+        return 0
+
+    inf_args = cfg.get("inference_args") or {}
+    for i, batch in enumerate(datamodule.predict_batches()):
+        dev = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+        z = task._encode(dev)
+        outputs = {"z": np.asarray(z)}
+        if inf_args.get("reconstruct", True):
+            out = vae.apply(
+                vae_params, z, dev["genes"], dev["library_size"], method="decode"
+            )
+            from scldm_tpu.ops.distributions import nb_sample
+
+            outputs["reconstructed_counts"] = np.asarray(
+                nb_sample(jax.random.PRNGKey(i), out["mu"], out["theta"])
+            )
+        else:
+            outputs["reconstructed_counts"] = np.asarray(batch[COUNTS])
+        for k, v in batch.items():
+            if k not in NON_CONDITION_KEYS:
+                outputs[k] = np.asarray(v)
+        path = create_anndata_from_inference_output(
+            outputs, vocab, out_dir, dataset=dataset, index=i
+        )
+        logger.info(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,137 @@
+"""LDM training entry point (reference experiments/scripts/train_ldm.py).
+
+Loads the trained VAE from its orbax checkpoint directory, grafts the VAE
+architecture from the checkpoint's config snapshot into this run's config
+(reference _utils.py:336-370 checkpoint surgery), freezes it as the tokenizer,
+and trains the DiT with the SiT flow-matching loss.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from scldm_tpu.config.build import (
+    build_datamodule,
+    build_dit,
+    build_ldm_task,
+    build_vae,
+    build_vocabulary_encoder,
+    compute_max_steps,
+)
+from scldm_tpu.config.loader import load_config, merge_overrides, resolve
+from scldm_tpu.parallel.mesh import make_mesh
+from scldm_tpu.training.checkpoint import CheckpointManager
+from scldm_tpu.training.loop import CSVLogger, fit
+from scldm_tpu.utils.logger import logger
+
+DEFAULT_CONFIG = Path(__file__).parent.parent.parent / "configs" / "ldm_training.yaml"
+
+
+def load_vae_from_checkpoint(cfg: dict, example_batch: dict):
+    """Restore VAE params + graft its architecture into cfg['model']['vae'].
+
+    Returns (vae_module, vae_params). The DiT's n_embed_input/seq_len follow
+    from the VAE latent dims via config interpolation, matching
+    _utils.py:363-369.
+    """
+    vae_dir = cfg["vae_checkpoint_dir"]
+    vae_mgr = CheckpointManager(vae_dir)
+    vae_cfg = vae_mgr.load_config()
+    if vae_cfg is not None:
+        cfg["model"]["vae"] = vae_cfg["model"]["vae"]
+        cfg["model"]["decoder_name"] = vae_cfg["model"].get(
+            "decoder_name", "negative_binomial_shared_theta"
+        )
+        # keep DiT latent dims in sync with the grafted VAE
+        cfg["model"]["diffusion_model"]["n_embed_input"] = cfg["model"]["vae"][
+            "n_embed_latent"
+        ]
+        cfg["model"]["diffusion_model"]["seq_len"] = cfg["model"]["vae"][
+            "n_inducing_points"
+        ]
+    vae = build_vae(cfg)
+    import jax.numpy as jnp
+
+    init_params = vae.init(
+        jax.random.PRNGKey(0),
+        counts=jnp.asarray(example_batch["counts"]),
+        genes=jnp.asarray(example_batch["genes"]),
+        library_size=jnp.asarray(example_batch["library_size"]),
+        counts_subset=jnp.asarray(
+            example_batch.get("counts_subset", example_batch["counts"])
+        ),
+        genes_subset=jnp.asarray(example_batch.get("genes_subset", example_batch["genes"])),
+    )
+    # restore only the params subtree of the VAE train state
+    from scldm_tpu.training.vae_task import VAETask  # template construction
+
+    step = vae_mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no VAE checkpoint in {vae_dir}")
+    restored = vae_mgr._mgr.restore(
+        step,
+        args=__import__("orbax.checkpoint", fromlist=["args"]).args.StandardRestore(None),
+    )
+    params = restored["params"] if "params" in restored else restored
+    vae_mgr.close()
+    logger.info(f"loaded frozen VAE from {vae_dir} @ step {step}")
+    # shape-check against a fresh init
+    jax.tree_util.tree_map(lambda a, b: None, init_params, params)
+    return vae, params
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=str(DEFAULT_CONFIG))
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv if argv is not None else sys.argv[1:])
+    cfg = resolve(merge_overrides(load_config(args.config), args.overrides))
+
+    seed = int(cfg.get("seed", 42))
+    np.random.seed(seed)
+    n_devices = len(jax.devices())
+    mesh = make_mesh() if n_devices > 1 else None
+
+    vocab = build_vocabulary_encoder(cfg)
+    datamodule = build_datamodule(cfg, vocab)
+    datamodule.setup("fit")
+    max_steps = compute_max_steps(cfg, datamodule.n_cells, world_size=1)
+    cfg["model"]["optimizer"]["lr"] = float(cfg["model"]["optimizer"]["lr"]) * n_devices
+
+    example = next(iter(datamodule.train_batches(0)))
+    vae, vae_params = load_vae_from_checkpoint(cfg, example)
+    dit = build_dit(cfg)
+    task = build_ldm_task(cfg, vae, vae_params, dit, max_steps, mesh=mesh)
+    state = task.init_state(jax.random.PRNGKey(seed), example)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    logger.info(f"DiT params: {n_params:,}; max_steps={max_steps}")
+
+    ckpt_dir = cfg.get("checkpoint_dir", "outputs/checkpoints/ldm")
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=cfg["training"]["checkpoint"]["max_to_keep"])
+    mgr.save_config(cfg)
+
+    state = fit(
+        task,
+        datamodule,
+        state,
+        max_steps=max_steps,
+        epochs=int(cfg.get("epochs", 100)),
+        mesh=mesh,
+        ckpt_manager=mgr,
+        csv_logger=CSVLogger(Path(ckpt_dir) / "metrics.csv"),
+        log_every_steps=int(cfg["training"].get("log_every_steps", 50)),
+        val_every_epochs=int(cfg["training"].get("val_every_epochs", 1)),
+        save_every_epochs=int(cfg["training"]["checkpoint"].get("save_every_epochs", 1)),
+        eval_rng_seed=seed,
+    )
+    logger.info(f"done at step {int(state.step)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -119,7 +119,7 @@ class LDMTask:
             {k: jnp.asarray(v) for k, v in example_batch.items()},
             self.dit.class_vocab_sizes or {},
         )
-        params = self.dit.init(
+        params = jax.jit(self.dit.init, static_argnames=("train",))(
             {"params": rng, "condition": rng}, x, t, condition, train=True
         )
         state = create_train_state(rng, params, self.tx, ema=ema_init(params["params"]))

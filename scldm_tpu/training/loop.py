@@ -1,0 +1,134 @@
+"""Generic fit loop: epochs over the datamodule, jitted steps, validation,
+CSV logging, orbax checkpointing with auto-resume.
+
+The functional replacement for pytorch_lightning.Trainer.fit as the reference
+uses it (train.py:62-88): max-step budget, per-epoch validation, save-last +
+monitor-val_loss checkpoints, epoch-reshuffled streams via set_epoch parity.
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from scldm_tpu.parallel.mesh import shard_batch
+from scldm_tpu.training.checkpoint import CheckpointManager
+from scldm_tpu.utils.logger import logger
+
+
+class CSVLogger:
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._fieldnames = None
+
+    def log(self, row: Dict):
+        row = {k: (float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v)
+               for k, v in row.items()}
+        new_file = self._fieldnames is None and not self.path.exists()
+        if self._fieldnames is None:
+            self._fieldnames = list(row.keys())
+        with self.path.open("a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
+            if new_file:
+                w.writeheader()
+            w.writerow(row)
+
+
+def fit(
+    task,
+    datamodule,
+    state,
+    *,
+    max_steps: int,
+    epochs: int,
+    mesh=None,
+    ckpt_manager: Optional[CheckpointManager] = None,
+    csv_logger: Optional[CSVLogger] = None,
+    log_every_steps: int = 50,
+    val_every_epochs: int = 1,
+    save_every_epochs: int = 1,
+    eval_rng_seed: int = 0,
+    on_validation_end: Optional[Callable[[int, Dict], None]] = None,
+):
+    """Run training until max_steps or epochs exhaust. Returns final state."""
+    start_step = int(state.step)
+    if ckpt_manager is not None:
+        state, resumed = ckpt_manager.maybe_restore(state)
+        if resumed:
+            start_step = int(state.step)
+            logger.info(f"auto-resumed from checkpoint at step {start_step}")
+
+    step = start_step
+    start_epoch = 0 if datamodule.steps_per_epoch == 0 else step // max(
+        datamodule.steps_per_epoch, 1
+    )
+    t_last = time.perf_counter()
+    cells_seen = 0
+
+    for epoch in range(start_epoch, epochs):
+        if step >= max_steps:
+            break
+        for batch in datamodule.train_batches(epoch):
+            if step >= max_steps:
+                break
+            dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
+            state, metrics = task.train_step(state, dev_batch)
+            step += 1
+            cells_seen += len(batch["counts"])
+            if step % log_every_steps == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                now = time.perf_counter()
+                metrics["cells_per_sec"] = cells_seen / (now - t_last)
+                t_last, cells_seen = now, 0
+                metrics.update(step=step, epoch=epoch)
+                logger.info(
+                    f"step {step} epoch {epoch} "
+                    + " ".join(f"{k}={v:.4g}" for k, v in metrics.items() if k not in ("step", "epoch"))
+                )
+                if csv_logger:
+                    csv_logger.log(metrics)
+
+        # -- validation (raw + EMA where the task supports it) -----------------
+        if (epoch + 1) % val_every_epochs == 0 and datamodule.n_val_batches > 0:
+            val_metrics = validate(task, datamodule, state, mesh, seed=eval_rng_seed)
+            logger.info(
+                f"epoch {epoch} validation "
+                + " ".join(f"{k}={v:.4g}" for k, v in val_metrics.items())
+            )
+            if csv_logger:
+                csv_logger.log({"step": step, "epoch": epoch, **val_metrics})
+            if on_validation_end is not None:
+                on_validation_end(epoch, val_metrics)
+        else:
+            val_metrics = {}
+
+        if ckpt_manager is not None and (epoch + 1) % save_every_epochs == 0:
+            ckpt_manager.save(step, state, metrics=val_metrics or None)
+
+    if ckpt_manager is not None:
+        ckpt_manager.save(step, state)
+    return state
+
+
+def validate(task, datamodule, state, mesh=None, seed: int = 0) -> Dict[str, float]:
+    """Average task.eval_step metrics over the val stream (raw + EMA when the
+    task has an EMA, mirroring reference BaseModel.validation_step)."""
+    sums: Dict[str, float] = {}
+    count = 0
+    has_ema = getattr(state, "ema", None) is not None
+    for i, batch in enumerate(datamodule.val_batches()):
+        dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
+        rng = jax.random.PRNGKey(seed * 100_003 + i)
+        metrics = dict(task.eval_step(state, dev_batch, rng))
+        if has_ema:
+            metrics.update(task.eval_step(state, dev_batch, rng, ema=True))
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        count += 1
+    return {k: v / max(count, 1) for k, v in sums.items()}

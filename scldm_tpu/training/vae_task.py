@@ -102,7 +102,9 @@ class VAETask:
 
     # -- init -----------------------------------------------------------------
     def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
-        params = self.vae.init(
+        # jit the init: eager flax init dispatches thousands of tiny ops, which
+        # is pathological over remote-device transports
+        params = jax.jit(self.vae.init)(
             rng,
             counts=jnp.asarray(example_batch[COUNTS]),
             genes=jnp.asarray(example_batch[GENES]),

@@ -1,0 +1,111 @@
+"""Config system tests: defaults composition, interpolation, overrides, builders."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from scldm_tpu.config.build import (
+    build_datamodule,
+    build_dit,
+    build_vae,
+    build_vocabulary_encoder,
+    compute_max_steps,
+)
+from scldm_tpu.config.loader import load_config, merge_overrides, resolve
+
+CONFIG_ROOT = Path(__file__).parent.parent / "configs"
+
+
+class TestLoader:
+    def test_compose_and_resolve_vae_training(self):
+        cfg = resolve(load_config(CONFIG_ROOT / "vae_training.yaml"))
+        assert cfg["model"]["vae"]["n_embed"] == 32
+        # nested key interpolation through dataset dispatch
+        assert cfg["datamodule"]["vocabulary_encoder"]["n_genes"] == 17002
+        assert cfg["datamodule"]["datamodule"]["genes_seq_len"] == 6147
+        assert cfg["experiment_name"] == "vae_dentate_gyrus"
+        # vae n_genes follows the vocabulary encoder
+        assert cfg["model"]["vae"]["n_genes"] == 17002
+
+    def test_dataset_switch_override(self):
+        cfg = load_config(CONFIG_ROOT / "vae_training.yaml")
+        cfg = resolve(merge_overrides(cfg, ["datamodule.dataset=hlca"]))
+        assert cfg["datamodule"]["vocabulary_encoder"]["n_genes"] == 27997
+        assert cfg["datamodule"]["datamodule"]["genes_seq_len"] == 10186
+        assert cfg["experiment_name"] == "vae_hlca"
+
+    def test_typed_overrides(self):
+        cfg = load_config(CONFIG_ROOT / "vae_training.yaml")
+        cfg = resolve(merge_overrides(cfg, ["model.batch_size=64", "epochs=3", "model.vae.bias=true"]))
+        assert cfg["model"]["batch_size"] == 64 and isinstance(cfg["model"]["batch_size"], int)
+        assert cfg["epochs"] == 3
+        assert cfg["model"]["vae"]["bias"] is True
+
+    def test_ldm_config_links_vae_latents(self):
+        cfg = resolve(load_config(CONFIG_ROOT / "ldm_training.yaml"))
+        assert cfg["model"]["diffusion_model"]["n_embed_input"] == 16
+        assert cfg["model"]["diffusion_model"]["seq_len"] == 16
+        assert cfg["model"]["diffusion_model"]["class_vocab_sizes"] == {"clusters": 14}
+        assert cfg["model"]["diffusion_model"]["cfg_dropout_prob"] == 0.8
+
+    def test_generation_config_inherits_ldm(self):
+        cfg = resolve(load_config(CONFIG_ROOT / "generation.yaml"))
+        assert cfg["generation_args"]["guidance_weight"] == {"clusters": 1.0}
+        assert cfg["generation_args"]["timesteps"] == 50
+
+    def test_eval_resolver(self, tmp_path):
+        (tmp_path / "c.yaml").write_text("a: 4\nb: ${eval:'${a}*2+1'}\n")
+        cfg = resolve(load_config(tmp_path / "c.yaml"))
+        assert cfg["b"] == 9
+
+    def test_joint_dataset_params(self):
+        cfg = load_config(CONFIG_ROOT / "ldm_training.yaml")
+        cfg = resolve(merge_overrides(cfg, ["datamodule.dataset=parse1m"]))
+        assert cfg["datamodule"]["vocabulary_encoder"]["class_vocab_sizes"] == {
+            "cell_type": 18,
+            "cytokine": 91,
+        }
+        assert cfg["datamodule"]["vocabulary_encoder"]["condition_strategy"] == "joint"
+
+
+class TestBuilders:
+    def _cfg_with_meta(self, tmp_path, n_genes=30):
+        payload = {
+            "genes": [f"g{i}" for i in range(n_genes)],
+            "labels": {"clusters": [f"c{i}" for i in range(14)]},
+        }
+        meta = tmp_path / "meta.json"
+        meta.write_text(json.dumps(payload))
+        cfg = load_config(CONFIG_ROOT / "vae_training.yaml")
+        cfg = merge_overrides(
+            cfg,
+            [
+                f"datamodule.dataset_params.dentate_gyrus.metadata_json={meta}",
+                f"datamodule.dataset_params.dentate_gyrus.n_genes={n_genes}",
+                "datamodule.dataset_params.dentate_gyrus.mu_size_factor=null",
+                "datamodule.dataset_params.dentate_gyrus.sd_size_factor=null",
+            ],
+        )
+        return resolve(cfg)
+
+    def test_build_vocab_and_vae(self, tmp_path):
+        cfg = self._cfg_with_meta(tmp_path)
+        vocab = build_vocabulary_encoder(cfg)
+        assert vocab.n_genes == 30
+        vae = build_vae(cfg)
+        assert vae.encoder.n_embed == 32
+        assert vae.decoder.n_genes == 30
+
+    def test_build_dit(self):
+        cfg = resolve(load_config(CONFIG_ROOT / "ldm_training.yaml"))
+        dit = build_dit(cfg)
+        assert dit.n_embed == 256 and dit.seq_len == 16
+        assert dit.class_vocab_sizes == {"clusters": 14}
+
+    def test_compute_max_steps(self):
+        cfg = {"training": {"max_steps": None}, "model": {"batch_size": 128}, "epochs": 10}
+        assert compute_max_steps(cfg, n_cells=12_800) == 10 * 100
+        cfg["training"]["max_steps"] = 77
+        assert compute_max_steps(cfg, n_cells=12_800) == 77
