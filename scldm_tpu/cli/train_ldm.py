@@ -115,6 +115,35 @@ def main(argv=None) -> int:
     mgr = CheckpointManager(ckpt_dir, max_to_keep=cfg["training"]["checkpoint"]["max_to_keep"])
     mgr.save_config(cfg)
 
+    # periodic generation eval during validation (models.py:849-939 parity)
+    gen_cfg = cfg["model"].get("eval_generation") or {}
+    on_validation_end = None
+    if gen_cfg.get("enabled"):
+        from scldm_tpu.evals.generation_eval import run_generation_eval, should_run
+        from scldm_tpu.sampling.size_factors import SizeFactorSampler
+
+        sfs = SizeFactorSampler(vocab, vocab.condition_strategy)
+        gen_sample_fn = task.make_sample_fn(
+            sfs,
+            guidance_weight=None,
+            sampling_method=gen_cfg.get("sampling_method", "dopri5"),
+            num_steps=int(gen_cfg.get("timesteps", 50)),
+            use_ema=True,
+        )
+        gen_csv = CSVLogger(Path(ckpt_dir) / "generation_eval.csv")
+
+        def on_validation_end(epoch, val_metrics, current_state):
+            if not should_run(epoch, gen_cfg):
+                return
+            mets = run_generation_eval(
+                gen_sample_fn,
+                current_state,
+                datamodule.val_batches(),
+                sample_size=int(gen_cfg.get("sample_size", 1024)),
+                rng_seed=seed + epoch,
+            )
+            gen_csv.log({"epoch": epoch, **mets})
+
     state = fit(
         task,
         datamodule,
@@ -128,6 +157,7 @@ def main(argv=None) -> int:
         val_every_epochs=int(cfg["training"].get("val_every_epochs", 1)),
         save_every_epochs=int(cfg["training"]["checkpoint"].get("save_every_epochs", 1)),
         eval_rng_seed=seed,
+        on_validation_end=on_validation_end,
     )
     logger.info(f"done at step {int(state.step)}")
     return 0

@@ -90,6 +90,60 @@ def build_vae(cfg: Dict) -> TransformerVAE:
     )
 
 
+def build_scvi_vae(cfg: Dict):
+    """Assemble the scVI-style baseline (configs/model/vae_scvi.yaml)."""
+    from scldm_tpu.nn.heads import GaussianLinearHead, NegativeBinomialLinearHead
+    from scldm_tpu.nn.nnets import DecoderScvi, EncoderScvi
+    from scldm_tpu.nn.vae import ScviVAE
+
+    m = cfg["model"]["scvi"]
+    return ScviVAE(
+        encoder=EncoderScvi(
+            n_genes=m["n_genes"],
+            n_hidden=m.get("n_hidden", 128),
+            n_layers=m.get("n_layers", 1),
+            dropout=m.get("dropout", 0.1),
+        ),
+        encoder_head=GaussianLinearHead(
+            n_hidden=m.get("n_hidden", 128), n_latent=m.get("n_latent", 10)
+        ),
+        decoder=DecoderScvi(
+            n_latent=m.get("n_latent", 10),
+            n_hidden=m.get("n_hidden", 128),
+            n_layers=m.get("n_layers", 1),
+            dropout=m.get("dropout", 0.1),
+        ),
+        decoder_head=NegativeBinomialLinearHead(
+            n_genes=m["n_genes"],
+            n_hidden=m.get("n_hidden", 128),
+            shared_theta=m.get("shared_theta", True),
+        ),
+    )
+
+
+def build_scvi_task(cfg: Dict, max_steps: int, mesh=None):
+    from scldm_tpu.training.scvi_task import ScviTask
+
+    m = cfg["model"]["scvi"]
+    opt = cfg["model"]["optimizer"]
+    sch = cfg["model"]["scheduler"]
+    tr = cfg["training"]
+    return ScviTask(
+        build_scvi_vae(cfg),
+        n_latent=m.get("n_latent", 10),
+        kl_weight=float(m.get("kl_weight", 1.0)),
+        learning_rate=float(opt.get("lr", 1e-3)),
+        betas=tuple(opt.get("betas", (0.9, 0.95))),
+        weight_decay=float(opt.get("weight_decay", 0.0)),
+        grad_clip=float(tr.get("grad_clip", 10.0)),
+        num_training_steps=max_steps,
+        num_warmup_steps=sch.get("num_warmup_steps"),
+        decay_type=sch.get("decay_type", "sqrt"),
+        fract_decay=float(sch.get("fract_decay", 0.1)),
+        mesh=mesh,
+    )
+
+
 def build_vae_task(cfg: Dict, vae: TransformerVAE, max_steps: int, mesh=None) -> VAETask:
     opt = cfg["model"]["optimizer"]
     sch = cfg["model"]["scheduler"]

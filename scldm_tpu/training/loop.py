@@ -54,7 +54,7 @@ def fit(
     val_every_epochs: int = 1,
     save_every_epochs: int = 1,
     eval_rng_seed: int = 0,
-    on_validation_end: Optional[Callable[[int, Dict], None]] = None,
+    on_validation_end: Optional[Callable] = None,  # (epoch, val_metrics, state)
 ):
     """Run training until max_steps or epochs exhaust. Returns final state."""
     start_step = int(state.step)
@@ -104,7 +104,7 @@ def fit(
             if csv_logger:
                 csv_logger.log({"step": step, "epoch": epoch, **val_metrics})
             if on_validation_end is not None:
-                on_validation_end(epoch, val_metrics)
+                on_validation_end(epoch, val_metrics, state)
         else:
             val_metrics = {}
 
