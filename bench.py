@@ -91,7 +91,9 @@ def measure_baseline() -> float | None:
     try:
         from benchmarks.torch_baseline import measure_torch_cells_per_sec
 
-        val = measure_torch_cells_per_sec(BATCH, N_GENES, SEQ_LEN, steps=2)
+        # smaller batch: the torch proxy runs on host CPU where batch 128
+        # activations thrash; cells/sec is the unit either way
+        val = measure_torch_cells_per_sec(16, N_GENES, SEQ_LEN, steps=2)
         BASELINE_CACHE.write_text(json.dumps({"torch_cells_per_sec": val}))
         return val
     except Exception:

@@ -1,0 +1,237 @@
+"""Numerical parity vs a PyTorch mirror of the reference TransformerVAE.
+
+Builds a torch module hierarchy with the reference's exact parameter names
+(vae.py / nnets.py / layers.py / stochastic_layers.py structure), imports its
+state_dict into our flax params via utils.torch_import, and checks that the
+JAX forward reproduces the torch forward — validating both the checkpoint
+importer (so released reference .ckpt files load correctly) and the numerical
+semantics of every layer (LN eps, SwiGLU, attention, NB head softmax).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from scldm_tpu.nn.vae import build_transformer_vae
+from scldm_tpu.utils.torch_import import export_torch_state_dict, import_torch_state_dict
+
+E, E_LAT, N_IND, N_LAYER, N_HEAD, N_HEAD_X = 16, 8, 4, 2, 4, 2
+G, S, B = 30, 12, 3
+EPS = 1e-8
+
+
+# -- torch mirror with reference module names --------------------------------
+class TorchMLP(nn.Module):
+    def __init__(self, e, multiple_of=4):
+        super().__init__()
+        h = int(2 * e * 4 / 3)
+        h = multiple_of * ((h + multiple_of - 1) // multiple_of)
+        self.w1 = nn.Linear(e, h, bias=False)
+        self.w2 = nn.Linear(e, h, bias=False)
+        self.c_proj = nn.Linear(h, e, bias=False)
+
+    def forward(self, x):
+        return self.c_proj(F.silu(self.w1(x)) * self.w2(x))
+
+
+def _attn(q, k, v, n_head):
+    Bq, M, D = q.shape
+    Sk = k.shape[1]
+    q = q.view(Bq, M, n_head, D // n_head).transpose(1, 2)
+    k = k.view(Bq, Sk, n_head, D // n_head).transpose(1, 2)
+    v = v.view(Bq, Sk, n_head, D // n_head).transpose(1, 2)
+    y = F.scaled_dot_product_attention(q, k, v)
+    return y.transpose(1, 2).reshape(Bq, M, D)
+
+
+class TorchSelfAttention(nn.Module):
+    def __init__(self, e, n_head, bias=False):
+        super().__init__()
+        self.n_head = n_head
+        self.c_attn = nn.Linear(e, 3 * e, bias=bias)
+        self.c_proj = nn.Linear(e, e, bias=bias)
+
+    def forward(self, x):
+        q, k, v = self.c_attn(x).chunk(3, dim=-1)
+        return self.c_proj(_attn(q, k, v, self.n_head))
+
+
+class TorchCrossAttention(nn.Module):
+    def __init__(self, e, n_head, bias=False):
+        super().__init__()
+        self.n_head = n_head
+        self.c_attn = nn.Linear(e, 2 * e, bias=bias)
+        self.c_attn_q = nn.Linear(e, e, bias=bias)
+        self.c_proj = nn.Linear(e, e, bias=bias)
+
+    def forward(self, x, q):
+        k, v = self.c_attn(x).chunk(2, dim=-1)
+        return self.c_proj(_attn(self.c_attn_q(q), k, v, self.n_head))
+
+
+class TorchBlock(nn.Module):
+    def __init__(self, e, n_head):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(e, eps=EPS)
+        self.ln_2 = nn.LayerNorm(e, eps=EPS)
+        self.attn = TorchSelfAttention(e, n_head)
+        self.mlp = TorchMLP(e)
+
+    def forward(self, x):
+        x = x + self.attn(self.ln_1(x))
+        return x + self.mlp(self.ln_2(x))
+
+
+class TorchCrossAttentionBlock(nn.Module):
+    def __init__(self, e, n_inducing, n_head):
+        super().__init__()
+        self.inducing_points = (
+            nn.Parameter(torch.randn(n_inducing, e)) if n_inducing else None
+        )
+        self.ln_1 = nn.LayerNorm(e, eps=EPS)
+        self.ln_1q = nn.LayerNorm(e, eps=EPS)
+        self.ln_2 = nn.LayerNorm(e, eps=EPS)
+        self.attn = TorchCrossAttention(e, n_head)
+        self.mlp = TorchMLP(e)
+
+    def forward(self, x, q=None):
+        if q is None:
+            q = self.inducing_points.expand(x.shape[0], -1, -1)
+        out = q + self.attn(self.ln_1(x), self.ln_1q(q))
+        return out + self.mlp(self.ln_2(out))
+
+
+class TorchEncoder(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.ca_layer = TorchCrossAttentionBlock(E, N_IND, N_HEAD_X)
+        self.pos_embed = nn.Parameter(torch.zeros(1, N_IND, E), requires_grad=False)
+        self.encoder_layers = nn.ModuleList([TorchBlock(E, N_HEAD) for _ in range(N_LAYER)])
+        self.encoder_latent_input = nn.Sequential(
+            nn.Linear(E, E_LAT, bias=False),
+            nn.LayerNorm(E_LAT, eps=EPS, elementwise_affine=False),
+        )
+
+    def forward(self, x):
+        x = self.ca_layer(x)
+        x = x + self.pos_embed
+        for layer in self.encoder_layers:
+            x = layer(x)
+        return self.encoder_latent_input(x)
+
+
+class TorchDecoder(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.decoder_latent_input = nn.Sequential(
+            nn.LayerNorm(E_LAT, eps=EPS, elementwise_affine=False),
+            nn.Linear(E_LAT, E, bias=False),
+        )
+        self.decoder_layers = nn.ModuleList([TorchBlock(E, N_HEAD) for _ in range(N_LAYER)])
+        self.decoder_cross_attention = TorchCrossAttentionBlock(E, 0, N_HEAD_X)
+
+    def forward(self, x, q):
+        x = self.decoder_latent_input(x)
+        for layer in self.decoder_layers:
+            x = layer(x)
+        return self.decoder_cross_attention(x, q)
+
+
+class TorchVAE(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.input_layer = nn.Module()
+        self.input_layer.gene_embedding = nn.Embedding(G + 1, E)
+        self.encoder = TorchEncoder()
+        self.decoder = TorchDecoder()
+        self.decoder_head = nn.Module()
+        self.decoder_head.params = nn.Linear(E, 1, bias=True)
+        self.decoder_head.theta = nn.Embedding(G + 1, 1)
+        nn.init.ones_(self.decoder_head.theta.weight)
+
+    def forward(self, counts, genes, lib, c_sub, g_sub):
+        emb = self.input_layer.gene_embedding(g_sub) * torch.log1p(c_sub).unsqueeze(-1)
+        h_z = self.encoder(emb)
+        q = self.input_layer.gene_embedding(genes)
+        h_x = self.decoder(h_z, q)
+        mu = self.decoder_head.params(h_x).squeeze(-1)
+        theta = torch.exp(self.decoder_head.theta(genes)).squeeze(-1)
+        mu = F.softmax(mu, dim=1) * lib
+        return mu, theta, h_z
+
+
+@pytest.fixture(scope="module")
+def models():
+    torch.manual_seed(0)
+    tmodel = TorchVAE().eval()
+    jmodel = build_transformer_vae(
+        n_genes=G, n_embed=E, n_embed_latent=E_LAT, n_layer=N_LAYER,
+        n_inducing_points=N_IND, n_head=N_HEAD, n_head_cross=N_HEAD_X,
+    )
+    counts = torch.poisson(torch.full((B, G), 2.0))
+    genes = torch.arange(1, G + 1).expand(B, -1)
+    lib = counts.sum(1, keepdim=True)
+    c_sub, g_sub = counts[:, :S].contiguous(), genes[:, :S].contiguous()
+
+    template = jmodel.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(counts.numpy()), jnp.asarray(genes.numpy()),
+        jnp.asarray(lib.numpy()), jnp.asarray(c_sub.numpy()), jnp.asarray(g_sub.numpy()),
+    )
+    params = import_torch_state_dict(tmodel.state_dict(), template, strict=True)
+    return tmodel, jmodel, params, (counts, genes, lib, c_sub, g_sub)
+
+
+class TestTorchParity:
+    def test_forward_matches(self, models):
+        tmodel, jmodel, params, (counts, genes, lib, c_sub, g_sub) = models
+        with torch.no_grad():
+            mu_t, theta_t, hz_t = tmodel(counts, genes, lib, c_sub, g_sub)
+        out, hz_j = jmodel.apply(
+            params,
+            jnp.asarray(counts.numpy()), jnp.asarray(genes.numpy()),
+            jnp.asarray(lib.numpy()), jnp.asarray(c_sub.numpy()),
+            jnp.asarray(g_sub.numpy()),
+        )
+        np.testing.assert_allclose(np.asarray(hz_j), hz_t.numpy(), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out["mu"]), mu_t.numpy(), rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["theta"]), theta_t.numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_roundtrip_export(self, models):
+        _, _, params, _ = models
+        sd = export_torch_state_dict(params)
+        back = import_torch_state_dict(sd, params, strict=True)
+        for (k1, a), (k2, b) in zip(
+            sorted_flat(params["params"]), sorted_flat(back["params"])
+        ):
+            assert k1 == k2
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_strict_missing_key_raises(self, models):
+        tmodel, _, params, _ = models
+        sd = tmodel.state_dict()
+        sd.pop("encoder.ca_layer.inducing_points")
+        with pytest.raises(KeyError, match="missing"):
+            import_torch_state_dict(sd, params, strict=True)
+
+    def test_lightning_prefix_stripped(self, models):
+        tmodel, jmodel, params, _ = models
+        sd = {f"vae_model.{k}": v for k, v in tmodel.state_dict().items()}
+        imported = import_torch_state_dict(sd, params, strict=True)
+        leaf_a = jax.tree_util.tree_leaves(imported)[0]
+        assert np.isfinite(np.asarray(leaf_a)).all()
+
+
+def sorted_flat(tree):
+    import flax
+
+    return sorted(
+        (("/".join(k), v) for k, v in flax.traverse_util.flatten_dict(tree).items()),
+        key=lambda kv: kv[0],
+    )
