@@ -58,13 +58,14 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_kv"))
+@functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     block_q: int = 256,
     block_kv: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """softmax(q k^T / sqrt(D)) v with streaming softmax in VMEM.
 
@@ -100,6 +101,7 @@ def flash_attention(
             pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(qf, kf, vf)
 
     out = out[:, :M, :D].reshape(B, H, M, D).transpose(0, 2, 1, 3)
