@@ -161,6 +161,7 @@ def build_vae_task(cfg: Dict, vae: TransformerVAE, max_steps: int, mesh=None) ->
         init_div_factor=float(sch.get("init_div_factor", 100)),
         fract_decay=float(sch.get("fract_decay", 0.1)),
         decay_type=sch.get("decay_type", "sqrt"),
+        calculate_grad_norms=tr.get("calculate_grad_norms", False),
         mesh=mesh,
     )
 
@@ -223,6 +224,7 @@ def build_ldm_task(
         ema_decay=float(ema.get("decay", 0.9999)),
         ema_update_every=int(ema.get("update_every", 10)),
         ema_update_after_step=int(ema.get("update_after_step", 10_000)),
+        calculate_grad_norms=tr.get("calculate_grad_norms", False),
         mesh=mesh,
     )
 

@@ -40,6 +40,33 @@ def sort_h5ad_files(path: Path) -> List[str]:
     )
 
 
+def get_tissue_adata_files(base_path: str | Path, split: str = "train"):
+    """Multi-tissue directory tree: <base>/<tissue>/<split>/adata_*.h5ad, each
+    split dir carrying a metadata.json; drops every tissue's last (short)
+    shard and requires a uniform shard_size (reference _utils.py:118-147).
+    Returns (files, total_cells, shard_size)."""
+    import json as _json
+
+    base_path = Path(base_path)
+    all_files: List[str] = []
+    shard_sizes = set()
+    total_cells = 0
+    for tissue_dir in base_path.iterdir():
+        if tissue_dir.is_dir() and "genes" not in str(tissue_dir):
+            split_dir = tissue_dir / split
+            if split_dir.exists():
+                meta_file = split_dir / "metadata.json"
+                if meta_file.exists():
+                    meta = _json.loads(meta_file.read_text())
+                    total_cells += meta["n_cells"] - meta["last_shard_size"]
+                    shard_sizes.add(meta["shard_size"])
+                files = sort_h5ad_files(split_dir)
+                if files:
+                    all_files.extend(files[:-1])
+    assert len(shard_sizes) == 1, "shard_size mismatch"
+    return sorted(all_files), total_cells, shard_sizes.pop()
+
+
 def train_val_split_list(files: List[str], seed: int) -> Tuple[List[int], List[int]]:
     """Shard-level 10% val split, resampling only the first half of shards so the
     (possibly short) last shard stays in train (reference datamodule.py:837-847)."""
@@ -131,18 +158,27 @@ class DataModule:
         self.n_cells = 0
 
     # -- discovery -------------------------------------------------------------
-    @staticmethod
-    def _resolve_files(path: Optional[str]) -> List[str]:
+    def _resolve_files(self, path: Optional[str], split: str = "train") -> List[str]:
         if path is None:
             return []
         p = Path(path)
         if p.is_dir():
-            return sort_h5ad_files(p)
+            files = sort_h5ad_files(p)
+            if files:
+                return files
+            # multi-tissue tree: <base>/<tissue>/<split>/adata_*.h5ad
+            try:
+                files, total_cells, _ = get_tissue_adata_files(p, split)
+                self._tissue_cells = total_cells
+                return files
+            except (AssertionError, StopIteration, FileNotFoundError):
+                return []
         return [p.as_posix()]
 
     def setup(self, stage: str = "fit") -> None:
-        train_files = self._resolve_files(self.train_adata_path)
-        test_files = self._resolve_files(self.test_adata_path)
+        self._tissue_cells = None
+        train_files = self._resolve_files(self.train_adata_path, "train")
+        test_files = self._resolve_files(self.test_adata_path, "test")
         if not train_files and not self.allow_missing_train and stage == "fit":
             raise FileNotFoundError(f"no training h5ad at {self.train_adata_path}")
 
@@ -186,6 +222,8 @@ class DataModule:
 
         if meta is not None:
             self.n_cells = int(meta["n_cells"])
+        elif self._tissue_cells is not None:
+            self.n_cells = int(self._tissue_cells)
         else:
             self.n_cells = sum(s[2] - s[1] for s in self._train_specs)
         self._is_setup = True

@@ -66,8 +66,10 @@ class LDMTask:
         ema_update_every: int = 10,
         ema_update_after_step: int = 10_000,
         train_vae: bool = False,
+        calculate_grad_norms: bool = False,
         mesh: Optional[Mesh] = None,
     ):
+        self.calculate_grad_norms = calculate_grad_norms
         assert not train_vae, "joint VAE finetuning not implemented (frozen-tokenizer parity)"
         self.vae = vae
         self.vae_params = vae_params
@@ -169,6 +171,10 @@ class LDMTask:
             "grad_norm": optax.global_norm(grads),
             "lr_mult": self.schedule(state.step),
         }
+        if self.calculate_grad_norms:
+            from scldm_tpu.training.metrics import grad_norms_by_module
+
+            mets.update(grad_norms_by_module(grads, prefix="grad_norm/diffusion"))
         return (
             state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng, ema=ema),
             mets,

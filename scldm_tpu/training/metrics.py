@@ -40,3 +40,26 @@ def zeros_accuracy(preds: jax.Array, target: jax.Array) -> jax.Array:
 
 def nanmean(x: jax.Array) -> jax.Array:
     return jnp.nanmean(x)
+
+
+def grad_norms_by_module(grads, depth: int = 2, prefix: str = "grad_norm") -> dict:
+    """Hierarchical gradient L2 norms per parameter subtree (the functional
+    analog of reference BaseModel._compute_gradient_norms, models.py:132-166).
+
+    Returns {"grad_norm/<module>[/<submodule>]": norm} down to `depth` path
+    levels of the (possibly {'params': ...}-wrapped) grads tree.
+    """
+    import flax
+    import optax
+
+    tree = grads.get("params", grads) if isinstance(grads, dict) else grads
+    flat = flax.traverse_util.flatten_dict(tree)
+    groups: dict = {}
+    for path, leaf in flat.items():
+        for d in range(1, min(depth, len(path)) + 1):
+            if d == len(path):  # the parameter leaf itself is not a module group
+                continue
+            groups.setdefault("/".join(path[:d]), []).append(leaf)
+    return {
+        f"{prefix}/{name}": optax.global_norm(leaves) for name, leaves in groups.items()
+    }

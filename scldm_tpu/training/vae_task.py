@@ -63,9 +63,11 @@ class VAETask:
         init_div_factor: float = 100,
         fract_decay: float = 0.1,
         decay_type: str = "sqrt",
+        calculate_grad_norms: bool = False,
         mesh: Optional[Mesh] = None,
     ):
         self.vae = vae
+        self.calculate_grad_norms = calculate_grad_norms
         self.gaussian_head = isinstance(vae.decoder_head, GaussianTransformerHead)
         self.mesh = mesh
         if num_warmup_steps is None:
@@ -149,6 +151,8 @@ class VAETask:
         }
         if "theta" in aux:
             mets["train_theta"] = aux["theta"]
+        if self.calculate_grad_norms:
+            mets.update(M.grad_norms_by_module(grads))
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state
         )
