@@ -102,13 +102,7 @@ class LDMTask:
             ),
         )
 
-        if mesh is not None:
-            repl = NamedSharding(mesh, P())
-            self._train_step = jax.jit(
-                self._train_step_impl, donate_argnums=(0,), out_shardings=(repl, repl)
-            )
-        else:
-            self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl, static_argnames=("use_ema",))
 
     # -- init -------------------------------------------------------------------
@@ -124,9 +118,17 @@ class LDMTask:
         params = jax.jit(self.dit.init, static_argnames=("train",))(
             {"params": rng, "condition": rng}, x, t, condition, train=True
         )
+        if self.mesh is not None:
+            from scldm_tpu.parallel.sharding_rules import shard_params
+
+            params = shard_params(params, self.mesh)
+            self.vae_params = shard_params(self.vae_params, self.mesh)
         state = create_train_state(rng, params, self.tx, ema=ema_init(params["params"]))
         if self.mesh is not None:
-            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            state = state.replace(
+                rng=jax.device_put(state.rng, NamedSharding(self.mesh, P())),
+                step=jax.device_put(state.step, NamedSharding(self.mesh, P())),
+            )
         return state
 
     # -- internals -----------------------------------------------------------------

@@ -66,13 +66,7 @@ class ScviTask:
                 weight_decay=weight_decay,
             ),
         )
-        if mesh is not None:
-            repl = NamedSharding(mesh, P())
-            self._train_step = jax.jit(
-                self._train_step_impl, donate_argnums=(0,), out_shardings=(repl, repl)
-            )
-        else:
-            self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
     def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
@@ -87,7 +81,7 @@ class ScviTask:
         batch_stats = variables.get("batch_stats", {})
         state = create_train_state(rng, params, self.tx, extra=batch_stats)
         if self.mesh is not None:
-            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))  # replicated
         return state
 
     def _elbo(self, out, aux_z, counts):

@@ -91,15 +91,10 @@ class VAETask:
             ),
         )
 
-        if mesh is not None:
-            # batch arrives device_put with P("data") (see parallel.shard_batch);
-            # pinning outputs replicated keeps params/metrics DDP-style
-            repl = NamedSharding(mesh, P())
-            self._train_step = jax.jit(
-                self._train_step_impl, donate_argnums=(0,), out_shardings=(repl, repl)
-            )
-        else:
-            self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        # batch arrives device_put with P("data") (see parallel.shard_batch);
+        # params enter with the DP/TP shardings pinned at init, and GSPMD
+        # propagates them through the step (grads, optimizer state, outputs)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # -- init -----------------------------------------------------------------
@@ -114,9 +109,17 @@ class VAETask:
             counts_subset=jnp.asarray(example_batch.get(C_SUB, example_batch[COUNTS])),
             genes_subset=jnp.asarray(example_batch.get(G_SUB, example_batch[GENES])),
         )
+        if self.mesh is not None:
+            from scldm_tpu.parallel.sharding_rules import shard_params
+
+            params = shard_params(params, self.mesh)
         state = create_train_state(rng, params, self.tx)
         if self.mesh is not None:
-            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            # non-param leaves (rng, step) replicate; opt state follows params
+            state = state.replace(
+                rng=jax.device_put(state.rng, NamedSharding(self.mesh, P())),
+                step=jax.device_put(state.step, NamedSharding(self.mesh, P())),
+            )
         return state
 
     def _apply(self, params, batch, train: bool):
