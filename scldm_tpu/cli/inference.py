@@ -50,11 +50,15 @@ def main(argv=None) -> int:
         datamodule.adata_inference = cfg["adata_inference"]
     datamodule.setup("predict")
 
-    # restore LDM state (DiT params + EMA) and the frozen VAE
+    # restore the frozen VAE (and, unless vae_only, the LDM state: DiT + EMA)
     from scldm_tpu.cli.train_ldm import load_vae_from_checkpoint
 
     example = next(iter(datamodule.predict_batches()))
     vae, vae_params = load_vae_from_checkpoint(cfg, example)
+
+    if cfg.get("vae_only"):
+        # reference models.VAE.inference parity: reconstruct + latents -> h5ad
+        return _vae_inference(cfg, vae, vae_params, datamodule, vocab)
     dit = build_dit(cfg)
     task = build_ldm_task(cfg, vae, vae_params, dit, max_steps=1)
     mgr = CheckpointManager(cfg["checkpoint_dir"])
@@ -115,6 +119,46 @@ def main(argv=None) -> int:
             )
         else:
             outputs["reconstructed_counts"] = np.asarray(batch[COUNTS])
+        for k, v in batch.items():
+            if k not in NON_CONDITION_KEYS:
+                outputs[k] = np.asarray(v)
+        path = create_anndata_from_inference_output(
+            outputs, vocab, out_dir, dataset=dataset, index=i
+        )
+        logger.info(f"wrote {path}")
+    return 0
+
+
+def _vae_inference(cfg, vae, vae_params, datamodule, vocab) -> int:
+    """Encode + reconstruct every predict batch with the VAE alone
+    (reference models.VAE.inference, models.py:352-381)."""
+    import jax.numpy as jnp
+
+    from scldm_tpu.ops.distributions import nb_sample
+
+    out_dir = Path(cfg["paths"]["inference_path"])
+    out_dir.mkdir(parents=True, exist_ok=True)
+    dataset = cfg["datamodule"]["dataset"]
+
+    @jax.jit
+    def forward(counts, genes, lib, c_sub, g_sub, rng):
+        out, z = vae.apply(vae_params, counts, genes, lib, c_sub, g_sub)
+        if "theta" in out:
+            counts_pred = nb_sample(rng, out["mu"], out["theta"])
+        else:
+            counts_pred = out["mu"]
+        return counts_pred, z
+
+    for i, batch in enumerate(datamodule.predict_batches()):
+        counts_pred, z = forward(
+            jnp.asarray(batch[COUNTS]),
+            jnp.asarray(batch["genes"]),
+            jnp.asarray(batch["library_size"]),
+            jnp.asarray(batch.get("counts_subset", batch[COUNTS])),
+            jnp.asarray(batch.get("genes_subset", batch["genes"])),
+            jax.random.PRNGKey(i),
+        )
+        outputs = {"reconstructed_counts": np.asarray(counts_pred), "z": np.asarray(z)}
         for k, v in batch.items():
             if k not in NON_CONDITION_KEYS:
                 outputs[k] = np.asarray(v)

@@ -46,18 +46,21 @@ def main(argv=None) -> int:
     np.random.seed(seed)
 
     n_devices = len(jax.devices())
+    n_hosts = jax.process_count()
     mesh = make_mesh() if n_devices > 1 else None
-    world = n_devices
-    logger.info(f"devices: {n_devices}; mesh: {mesh}")
+    logger.info(f"devices: {n_devices}; hosts: {n_hosts}; mesh: {mesh}")
 
     vocab = build_vocabulary_encoder(cfg)
-    datamodule = build_datamodule(cfg, vocab)
+    datamodule = build_datamodule(
+        cfg, vocab, num_hosts=n_hosts, host_index=jax.process_index()
+    )
     datamodule.setup("fit")
-    max_steps = compute_max_steps(cfg, datamodule.n_cells, world_size=1)
+    # global batch = config batch x n_hosts (per-rank-batch DDP semantics)
+    max_steps = compute_max_steps(cfg, datamodule.n_cells, world_size=n_hosts)
     logger.info(f"n_cells={datamodule.n_cells} max_steps={max_steps}")
 
     # linear LR scaling by world size (reference train.py:32-35)
-    cfg["model"]["optimizer"]["lr"] = float(cfg["model"]["optimizer"]["lr"]) * world
+    cfg["model"]["optimizer"]["lr"] = float(cfg["model"]["optimizer"]["lr"]) * n_hosts
 
     vae = build_vae(cfg)
     task = build_vae_task(cfg, vae, max_steps, mesh=mesh)

@@ -95,13 +95,16 @@ def main(argv=None) -> int:
     seed = int(cfg.get("seed", 42))
     np.random.seed(seed)
     n_devices = len(jax.devices())
+    n_hosts = jax.process_count()
     mesh = make_mesh() if n_devices > 1 else None
 
     vocab = build_vocabulary_encoder(cfg)
-    datamodule = build_datamodule(cfg, vocab)
+    datamodule = build_datamodule(
+        cfg, vocab, num_hosts=n_hosts, host_index=jax.process_index()
+    )
     datamodule.setup("fit")
-    max_steps = compute_max_steps(cfg, datamodule.n_cells, world_size=1)
-    cfg["model"]["optimizer"]["lr"] = float(cfg["model"]["optimizer"]["lr"]) * n_devices
+    max_steps = compute_max_steps(cfg, datamodule.n_cells, world_size=n_hosts)
+    cfg["model"]["optimizer"]["lr"] = float(cfg["model"]["optimizer"]["lr"]) * n_hosts
 
     example = next(iter(datamodule.train_batches(0)))
     vae, vae_params = load_vae_from_checkpoint(cfg, example)

@@ -47,10 +47,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put a host batch dict with the batch axis sharded over "data".
+    """Put a host batch dict on device with the batch axis sharded over "data".
 
-    Per-host batches must be divisible by the local data-axis extent; the
-    DataModule's drop_incomplete_batch guarantees fixed batch sizes.
+    Single-host: a plain device_put. Multi-host (DCN): each process contributes
+    its locally-loaded batch as its shard of the global array
+    (global batch = local batch x process_count), which is the reference's
+    per-rank-batch DDP semantics (SURVEY.md §2.6).
     """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

@@ -143,3 +143,23 @@ def test_inference_cli(workspace):
     assert len(out) >= 1
     f = H5ADFile(out[0])
     assert f.n_vars == G
+
+
+def test_vae_only_inference_cli(workspace):
+    from pathlib import Path
+
+    from scldm_tpu.cli.inference import main
+
+    config = Path(__file__).parent.parent / "configs" / "inference.yaml"
+    overrides = _common_overrides(workspace) + [
+        "vae_only=true",
+        f"datamodule.datamodule.test_adata_path={workspace / 'train.h5ad'}",
+        f"paths.inference_path={workspace / 'outputs' / 'vae_inference'}",
+    ]
+    rc = main(["--config", str(config)] + overrides)
+    assert rc == 0
+    out = list((workspace / "outputs" / "vae_inference").glob("*inference*.h5ad"))
+    assert len(out) >= 1
+    f = H5ADFile(out[0])
+    assert f.n_vars == G
+    assert (f.rows(slice(0, f.n_obs)) >= 0).all()
