@@ -25,7 +25,8 @@ import numpy as np
 BATCH = 128
 N_GENES = 17_002
 SEQ_LEN = 6_147
-STEPS = 20
+STEPS_PER_DISPATCH = 10  # optimizer steps fused per compiled call (training/loop.py)
+DISPATCHES = 5
 BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
 
 
@@ -68,18 +69,23 @@ def measure_ours() -> float:
     else:
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
+    # the production loop fuses K optimizer steps per dispatch (training/loop.py
+    # steps_per_dispatch); bench the same program shape
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * STEPS_PER_DISPATCH), batch
+    )
+
     # warmup / compile
-    for _ in range(3):
-        state, metrics = task.train_step(state, batch)
+    state, metrics = task.train_steps(state, stacked)
     jax.block_until_ready(metrics["train_loss"])
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = task.train_step(state, batch)
+    for _ in range(DISPATCHES):
+        state, metrics = task.train_steps(state, stacked)
     jax.block_until_ready(metrics["train_loss"])
     dt = time.perf_counter() - t0
     assert np.isfinite(float(metrics["train_loss"]))
-    return BATCH * STEPS / dt
+    return BATCH * STEPS_PER_DISPATCH * DISPATCHES / dt
 
 
 def measure_baseline() -> float | None:

@@ -160,6 +160,7 @@ def main(argv=None) -> int:
         val_every_epochs=int(cfg["training"].get("val_every_epochs", 1)),
         save_every_epochs=int(cfg["training"]["checkpoint"].get("save_every_epochs", 1)),
         eval_rng_seed=seed,
+        steps_per_dispatch=int(cfg["training"].get("steps_per_dispatch", 1)),
         on_validation_end=on_validation_end,
     )
     logger.info(f"done at step {int(state.step)}")

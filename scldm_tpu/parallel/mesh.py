@@ -46,6 +46,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_stacked_batch(stacked: dict, mesh: Mesh) -> dict:
+    """Device-put a (K, batch, ...) stacked batch dict: leading step axis
+    replicated, batch axis sharded over "data"."""
+    sharding = NamedSharding(mesh, P(None, "data"))
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x), stacked
+        )
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), stacked)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Put a host batch dict on device with the batch axis sharded over "data".
 

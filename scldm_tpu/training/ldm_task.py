@@ -103,6 +103,7 @@ class LDMTask:
         )
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_steps = jax.jit(self._train_steps_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl, static_argnames=("use_ema",))
 
     # -- init -------------------------------------------------------------------
@@ -182,6 +183,16 @@ class LDMTask:
             mets,
         )
 
+    def _train_steps_impl(self, state: TrainState, stacked: Dict) -> Tuple[TrainState, Dict]:
+        """K optimizer steps in one compiled program (see VAETask.train_steps)."""
+
+        def body(s, b):
+            s, m = self._train_step_impl(s, b)
+            return s, m
+
+        state, mets = jax.lax.scan(body, state, stacked)
+        return state, jax.tree_util.tree_map(lambda x: x.mean(), mets)
+
     def _eval_step_impl(
         self, params, ema_params, batch: Dict, rng: jax.Array, use_ema: bool = False
     ) -> Dict:
@@ -202,6 +213,9 @@ class LDMTask:
     # -- public API -------------------------------------------------------------------
     def train_step(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         return self._train_step(state, batch)
+
+    def train_steps(self, state: TrainState, stacked: Dict) -> Tuple[TrainState, Dict]:
+        return self._train_steps(state, stacked)
 
     def eval_step(self, state: TrainState, batch: Dict, rng: jax.Array, ema: bool = False):
         return self._eval_step(state.params, state.ema.params, batch, rng, use_ema=ema)

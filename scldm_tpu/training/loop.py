@@ -16,9 +16,17 @@ from typing import Callable, Dict, Optional
 import jax
 import numpy as np
 
-from scldm_tpu.parallel.mesh import shard_batch
+from scldm_tpu.parallel.mesh import shard_batch, shard_stacked_batch
 from scldm_tpu.training.checkpoint import CheckpointManager
 from scldm_tpu.utils.logger import logger
+
+
+def _stack_batches(batches):
+    import numpy as _np
+
+    return {
+        k: _np.stack([b[k] for b in batches]) for k in batches[0]
+    }
 
 
 class CSVLogger:
@@ -54,6 +62,7 @@ def fit(
     val_every_epochs: int = 1,
     save_every_epochs: int = 1,
     eval_rng_seed: int = 0,
+    steps_per_dispatch: int = 1,
     on_validation_end: Optional[Callable] = None,  # (epoch, val_metrics, state)
 ):
     """Run training until max_steps or epochs exhaust. Returns final state."""
@@ -70,18 +79,39 @@ def fit(
     )
     t_last = time.perf_counter()
     cells_seen = 0
+    last_logged = step
+
+    import jax.numpy as jnp
 
     for epoch in range(start_epoch, epochs):
         if step >= max_steps:
             break
+        pending = []
         for batch in datamodule.train_batches(epoch):
             if step >= max_steps:
                 break
-            dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
-            state, metrics = task.train_step(state, dev_batch)
-            step += 1
-            cells_seen += len(batch["counts"])
-            if step % log_every_steps == 0:
+            if steps_per_dispatch > 1 and hasattr(task, "train_steps"):
+                # amortize dispatch latency: K optimizer steps per compiled call
+                pending.append(batch)
+                if len(pending) < steps_per_dispatch:
+                    continue
+                stacked = _stack_batches(pending)
+                dev = (
+                    shard_stacked_batch(stacked, mesh)
+                    if mesh is not None
+                    else {k: jnp.asarray(v) for k, v in stacked.items()}
+                )
+                state, metrics = task.train_steps(state, dev)
+                step += len(pending)
+                cells_seen += sum(len(b["counts"]) for b in pending)
+                pending = []
+            else:
+                dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
+                state, metrics = task.train_step(state, dev_batch)
+                step += 1
+                cells_seen += len(batch["counts"])
+            if step - last_logged >= log_every_steps:
+                last_logged = step
                 metrics = {k: float(v) for k, v in metrics.items()}
                 now = time.perf_counter()
                 metrics["cells_per_sec"] = cells_seen / (now - t_last)
@@ -93,6 +123,15 @@ def fit(
                 )
                 if csv_logger:
                     csv_logger.log(metrics)
+
+        # flush a partial dispatch group at epoch end as single steps
+        for batch in pending:
+            if step >= max_steps:
+                break
+            dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
+            state, metrics = task.train_step(state, dev_batch)
+            step += 1
+            cells_seen += len(batch["counts"])
 
         # -- validation (raw + EMA where the task supports it) -----------------
         if (epoch + 1) % val_every_epochs == 0 and datamodule.n_val_batches > 0:

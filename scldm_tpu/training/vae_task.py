@@ -95,6 +95,7 @@ class VAETask:
         # params enter with the DP/TP shardings pinned at init, and GSPMD
         # propagates them through the step (grads, optimizer state, outputs)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_steps = jax.jit(self._train_steps_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # -- init -----------------------------------------------------------------
@@ -161,6 +162,18 @@ class VAETask:
         )
         return new_state, mets
 
+    def _train_steps_impl(self, state: TrainState, stacked: Dict) -> Tuple[TrainState, Dict]:
+        """K optimizer steps in ONE compiled program (lax.scan over the leading
+        axis of `stacked`). Amortizes per-dispatch latency — the dominant cost
+        at reference batch sizes on remote-attached TPUs (~7x measured)."""
+
+        def body(s, b):
+            s, m = self._train_step_impl(s, b)
+            return s, m
+
+        state, mets = jax.lax.scan(body, state, stacked)
+        return state, jax.tree_util.tree_map(lambda x: x.mean(), mets)
+
     def _eval_step_impl(self, params, batch: Dict, rng: jax.Array) -> Dict:
         """Validation metrics (reference models.py:289-333): loss, theta,
         zeros-accuracy, MSE/PCC on log1p-CPM-scaled sampled counts."""
@@ -184,6 +197,10 @@ class VAETask:
     # -- public API --------------------------------------------------------------
     def train_step(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         return self._train_step(state, batch)
+
+    def train_steps(self, state: TrainState, stacked: Dict) -> Tuple[TrainState, Dict]:
+        """K steps per dispatch; `stacked` leaves have shape (K, batch, ...)."""
+        return self._train_steps(state, stacked)
 
     def eval_step(self, state: TrainState, batch: Dict, rng: jax.Array) -> Dict:
         return self._eval_step(state.params, batch, rng)

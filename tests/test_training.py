@@ -191,6 +191,26 @@ class TestVAETask:
         assert float(m["train_loss"]) < float(m0["train_loss"])
         assert int(state.step) == 31
 
+    def test_train_steps_matches_sequential(self):
+        """K scanned steps in one program == K sequential dispatches."""
+        import jax.numpy as jnp
+
+        batches = [make_batch(jax.random.PRNGKey(i)) for i in range(3)]
+        task_a = self._task()
+        state_a = task_a.init_state(jax.random.PRNGKey(1), batches[0])
+        for b in batches:
+            state_a, m_seq = task_a.train_step(state_a, b)
+
+        task_b = self._task()
+        state_b = task_b.init_state(jax.random.PRNGKey(1), batches[0])
+        stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+        state_b, m_scan = task_b.train_steps(state_b, stacked)
+
+        assert int(state_b.step) == 3
+        leaf_a = jax.tree_util.tree_leaves(state_a.params)[0]
+        leaf_b = jax.tree_util.tree_leaves(state_b.params)[0]
+        np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b), rtol=1e-5, atol=1e-6)
+
     def test_eval_metrics_present(self):
         task = self._task()
         batch = make_batch(jax.random.PRNGKey(0))
