@@ -156,6 +156,9 @@ class DataModule:
         self._is_setup = False
         self._adata_inference: Optional[str] = None
         self.n_cells = 0
+        # per-file caches: encoded gene row, encoded obs label columns
+        self._gene_row_cache: Dict[str, np.ndarray] = {}
+        self._label_cache: Dict[Tuple[str, str], np.ndarray] = {}
 
     # -- discovery -------------------------------------------------------------
     def _resolve_files(self, path: Optional[str], split: str = "train") -> List[str]:
@@ -255,33 +258,63 @@ class DataModule:
         self._adata_inference = path
 
     # -- batch materialization ----------------------------------------------------
+    def _gene_row(self, path: str, f: H5ADFile) -> np.ndarray:
+        if path not in self._gene_row_cache:
+            self._gene_row_cache[path] = self.vocabulary_encoder.encode_genes(f.var_names)
+        return self._gene_row_cache[path]
+
+    def _encoded_labels(self, path: str, f: H5ADFile, label: str) -> np.ndarray:
+        """Whole-file label column encoded once: categorical codes map through
+        a per-category lookup instead of per-cell string encoding."""
+        key = (path, label)
+        if key not in self._label_cache:
+            codes_cats = f.obs_codes(label)
+            if codes_cats is not None:
+                codes, cats = codes_cats
+                cat_idx = self.vocabulary_encoder.encode_metadata(cats, label)
+                self._label_cache[key] = np.where(
+                    codes >= 0, cat_idx[np.clip(codes, 0, None)], -1
+                ).astype(np.int64)
+            else:
+                values = f.obs_column(label)
+                self._label_cache[key] = self.vocabulary_encoder.encode_metadata(
+                    values, label
+                ).astype(np.int64)
+        return self._label_cache[key]
+
     def _make_batch(self, spec: Tuple[str, int, int], seed: Optional[int]) -> Dict[str, np.ndarray]:
         path, lo, hi = spec
         f = self._pool.get(path)
-        X = f.rows(slice(lo, hi), self.adata_attr, self.adata_key)
-        var_names = f.var_names
-        batch = tokenize_cells(
-            X,
-            var_names,
-            self.vocabulary_encoder,
-            genes_seq_len=self.genes_seq_len,
-            sample_genes=self.sample_genes,
-            seed=seed,
-        )
-        rows = np.arange(lo, hi)
+
+        if self.sample_genes == "expressed" and f.is_csr(self.adata_attr, self.adata_key):
+            # vectorized single-read CSR fast path (data/fastpath.py)
+            from scldm_tpu.data.fastpath import expressed_batch_from_csr
+
+            data, indices, indptr = f.csr_block(lo, hi, self.adata_attr, self.adata_key)
+            batch = expressed_batch_from_csr(
+                data, indices, indptr, self._gene_row(path, f), self.genes_seq_len
+            )
+        else:
+            X = f.rows(slice(lo, hi), self.adata_attr, self.adata_key)
+            batch = tokenize_cells(
+                X,
+                f.var_names,
+                self.vocabulary_encoder,
+                genes_seq_len=self.genes_seq_len,
+                sample_genes=self.sample_genes,
+                seed=seed,
+            )
+            batch[ModelEnum.COUNTS.value] = batch[ModelEnum.COUNTS.value].astype(np.float32)
+            batch[ModelEnum.LIBRARY_SIZE.value] = batch[
+                ModelEnum.LIBRARY_SIZE.value
+            ].astype(np.float32)
+            if ModelEnum.COUNTS_SUBSET.value in batch:
+                batch[ModelEnum.COUNTS_SUBSET.value] = batch[
+                    ModelEnum.COUNTS_SUBSET.value
+                ].astype(np.float32)
+
         for label in self.vocabulary_encoder.class_vocab_sizes:
-            values = f.obs_column(label, rows)
-            batch[label] = self.vocabulary_encoder.encode_metadata(values, label).astype(
-                np.int64
-            )
-        batch[ModelEnum.COUNTS.value] = batch[ModelEnum.COUNTS.value].astype(np.float32)
-        batch[ModelEnum.LIBRARY_SIZE.value] = batch[ModelEnum.LIBRARY_SIZE.value].astype(
-            np.float32
-        )
-        if ModelEnum.COUNTS_SUBSET.value in batch:
-            batch[ModelEnum.COUNTS_SUBSET.value] = batch[ModelEnum.COUNTS_SUBSET.value].astype(
-                np.float32
-            )
+            batch[label] = self._encoded_labels(path, f, label)[lo:hi]
         return batch
 
     def _iter_specs(

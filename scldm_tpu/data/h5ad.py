@@ -98,6 +98,15 @@ class H5ADFile:
         data = np.asarray(node[:] if rows is None else node[:][rows])
         return _decode(data)
 
+    def obs_codes(self, name: str) -> Optional[tuple[np.ndarray, list[str]]]:
+        """(codes, categories) for a categorical obs column — lets callers map
+        categories once and slice integer codes per batch (None if not
+        categorical)."""
+        node = self._f["obs"][name]
+        if isinstance(node, h5py.Group):
+            return np.asarray(node["codes"][:]), list(_decode(np.asarray(node["categories"][:])))
+        return None
+
     def obs_categories(self, name: str) -> Optional[list[str]]:
         """Category list for a categorical obs column (None if not categorical)."""
         node = self._f["obs"][name]
@@ -106,6 +115,34 @@ class H5ADFile:
         return None
 
     # -- matrix row slicing -----------------------------------------------------
+    def is_csr(self, attr: str = "X", key: Optional[str] = None) -> bool:
+        node = self._matrix_node(attr, key)
+        if isinstance(node, h5py.Dataset):
+            return False
+        enc = node.attrs.get("encoding-type", b"")
+        enc = enc.decode() if isinstance(enc, bytes) else enc
+        n_obs = self.shape(attr, key)[0]
+        return enc == "csr_matrix" or (
+            "indptr" in node and len(node["indptr"]) == n_obs + 1
+        )
+
+    def csr_block(
+        self, lo: int, hi: int, attr: str = "X", key: Optional[str] = None
+    ):
+        """Contiguous row block of a CSR matrix as (data, indices, indptr_local)
+        — ONE bulk HDF5 read per array instead of per-row reads (the input-
+        pipeline hot path; reference delegated this to anndata's backed mode)."""
+        node = self._matrix_node(attr, key)
+        cache_key = f"{attr}/{key}"
+        if cache_key not in self._indptr_cache:
+            self._indptr_cache[cache_key] = np.asarray(node["indptr"][:])
+        indptr = self._indptr_cache[cache_key]
+        start, stop = int(indptr[lo]), int(indptr[hi])
+        data = np.asarray(node["data"][start:stop], np.float32)
+        indices = np.asarray(node["indices"][start:stop])
+        local_indptr = (indptr[lo : hi + 1] - start).astype(np.int64)
+        return data, indices, local_indptr
+
     def rows(
         self,
         row_idx: np.ndarray | slice,
