@@ -281,22 +281,28 @@ class Sampler:
 
         NOTE: the reference returns the whole saved trajectory and callers take
         `[-1]` (models.py:812); we return the final state directly.
-        """
-        if reverse:
-            base_drift = lambda x, t, model, **kw: self.drift(
-                x, jnp.ones_like(t) * (1.0 - t), model, **kw
-            )
-        else:
-            base_drift = self.drift
 
+        reverse=True integrates data -> noise: with forward interval (t0, t1),
+        we solve ds over (1-t1, 1-t0) with drift -v(x, 1-s). (The reference's
+        reverse branch flips the interval into (1, 0), which its own
+        `t0 < t1` integrator assert forbids — broken upstream in SiT; this is
+        the working equivalent.)
+        """
         t0, t1 = self.transport.check_interval(
             self.transport.train_eps,
             self.transport.sample_eps,
             sde=False,
             eval=True,
-            reverse=reverse,
+            reverse=False,
             last_step_size=0.0,
         )
+        if reverse:
+            base_drift = lambda x, t, model, **kw: -self.drift(
+                x, jnp.ones_like(t) * (1.0 - t), model, **kw
+            )
+            t0, t1 = 1.0 - t1, 1.0 - t0
+        else:
+            base_drift = self.drift
 
         def _sample(init, model, **model_kwargs):
             drift = lambda x, t: base_drift(x, t, model, **model_kwargs)
