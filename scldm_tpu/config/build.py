@@ -86,6 +86,7 @@ def build_vae(cfg: Dict) -> TransformerVAE:
         shared_embedding=m.get("shared_embedding", True),
         agg_func=m.get("agg_func", "log1p"),
         decoder_head=cfg["model"].get("decoder_name", "negative_binomial_shared_theta"),
+        remat=cfg["model"].get("remat", False),
         dtype=_DTYPES[cfg["model"].get("compute_dtype", "float32")],
     )
 
@@ -181,6 +182,7 @@ def build_dit(cfg: Dict) -> DiT:
         class_vocab_sizes=d.get("class_vocab_sizes") or {},
         cfg_dropout_prob=d.get("cfg_dropout_prob", 0.1),
         condition_strategy=d.get("condition_strategy", "mutually_exclusive"),
+        remat=cfg["model"].get("remat", False),
         dtype=_DTYPES[cfg["model"].get("compute_dtype", "float32")],
     )
 

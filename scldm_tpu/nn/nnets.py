@@ -94,6 +94,7 @@ class Encoder(nn.Module):
     multiple_of: int = 4
     layernorm_eps: float = 1e-8
     positional_encoding: bool = False
+    remat: bool = False  # rematerialize block activations (census-scale memory)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -127,8 +128,9 @@ class Encoder(nn.Module):
             )
             x = x + jax.lax.stop_gradient(pos.astype(x.dtype))
 
+        block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.n_layer):
-            x = Block(
+            x = block_cls(
                 n_embed=self.n_embed,
                 n_head=self.n_head,
                 dropout=self.dropout,
@@ -170,6 +172,7 @@ class Decoder(nn.Module):
     layernorm_eps: float = 1e-8
     shared_embedding: bool = True
     use_adaln: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -185,8 +188,9 @@ class Decoder(nn.Module):
         )(x)
         x = _dense(self.n_embed, self.bias, self.dtype, name="latent_proj")(x)
 
+        block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.n_layer):
-            x = Block(
+            x = block_cls(
                 n_embed=self.n_embed,
                 n_head=self.n_head,
                 dropout=self.dropout,
@@ -249,6 +253,7 @@ class DiT(nn.Module):
     class_vocab_sizes: Dict[str, int] = None
     cfg_dropout_prob: float = 0.1
     condition_strategy: str = "mutually_exclusive"  # or "joint"
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -267,8 +272,9 @@ class DiT(nn.Module):
             for name in self.class_names
         }
         self.t_embedder = TimestepEmbedder(self.n_embed, dtype=self.dtype, name="t_embedder")
+        block_cls = nn.remat(Block) if self.remat else Block
         self.blocks = [
-            Block(
+            block_cls(
                 n_embed=self.n_embed,
                 n_head=self.n_head,
                 dropout=self.dropout,

@@ -152,6 +152,7 @@ def build_transformer_vae(
     agg_func: str = "log1p",
     decoder_head: str = "negative_binomial_shared_theta",
     head_temperature: float = 1.0,
+    remat: bool = False,
     dtype: jnp.dtype = jnp.float32,
 ) -> TransformerVAE:
     """Assemble a TransformerVAE with the reference default architecture
@@ -168,6 +169,7 @@ def build_transformer_vae(
         multiple_of=multiple_of,
         layernorm_eps=layernorm_eps,
         positional_encoding=positional_encoding,
+        remat=remat,
         dtype=dtype,
     )
     decoder = Decoder(
@@ -183,6 +185,7 @@ def build_transformer_vae(
         multiple_of=multiple_of,
         layernorm_eps=layernorm_eps,
         shared_embedding=shared_embedding,
+        remat=remat,
         dtype=dtype,
     )
     if decoder_head == "negative_binomial_shared_theta":

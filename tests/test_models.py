@@ -237,3 +237,24 @@ class TestDiT:
         )
         out = dit.apply(params, x, t, cond, force_drop_ids=False)
         assert out.shape == x.shape
+
+
+def test_remat_variant_matches_forward():
+    """remat=True is numerically identical forward and trains (memory-only change)."""
+    vae_a = build_transformer_vae(n_genes=N_GENES, n_embed=16, n_embed_latent=8,
+                                  n_layer=2, n_inducing_points=4, n_head=2, n_head_cross=2)
+    vae_b = build_transformer_vae(n_genes=N_GENES, n_embed=16, n_embed_latent=8,
+                                  n_layer=2, n_inducing_points=4, n_head=2, n_head_cross=2,
+                                  remat=True)
+    batch = _make_batch(jax.random.PRNGKey(0))
+    params = vae_a.init(jax.random.PRNGKey(0), **batch)
+    out_a, hz_a = vae_a.apply(params, **batch)
+    out_b, hz_b = vae_b.apply(params, **batch)
+    np.testing.assert_allclose(np.asarray(hz_a), np.asarray(hz_b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_a["mu"]), np.asarray(out_b["mu"]), rtol=1e-5)
+    # gradients flow through the remat blocks
+    def loss(p):
+        out, _ = vae_b.apply(p, **batch)
+        return out["mu"].sum()
+    g = jax.grad(lambda p: loss(p))(params)
+    assert np.isfinite(float(jax.tree_util.tree_leaves(g)[0].sum()))
