@@ -1,0 +1,101 @@
+"""Secondary benchmarks: LDM train throughput + CFG sampler throughput.
+
+Prints one JSON line per metric (the driver's headline bench is bench.py).
+Run: python -m benchmarks.bench_ldm
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench as vae_bench
+from scldm_tpu.nn.nnets import DiT
+from scldm_tpu.nn.vae import build_transformer_vae
+from scldm_tpu.sampling.size_factors import SizeFactorSampler
+from scldm_tpu.training.ldm_task import LDMTask
+from scldm_tpu.training.vae_task import VAETask
+from scldm_tpu.transport import create_transport
+
+BATCH = 128
+K = 10
+
+
+def main():
+    vae = build_transformer_vae(n_genes=vae_bench.N_GENES, dtype=jnp.bfloat16)
+    batch = vae_bench.synth_batch(np.random.default_rng(0))
+    batch["clusters"] = np.random.default_rng(1).integers(0, 14, BATCH).astype(np.int64)
+    vae_task = VAETask(vae, num_training_steps=100)
+    vstate = vae_task.init_state(jax.random.PRNGKey(0), batch)
+
+    dit = DiT(
+        n_embed=256, n_embed_input=16, n_layer=8, n_head=8, seq_len=16,
+        class_vocab_sizes={"clusters": 14}, cfg_dropout_prob=0.8, dtype=jnp.bfloat16,
+    )
+    task = LDMTask(vae, vstate.params, dit, create_transport(), num_training_steps=1000)
+    state = task.init_state(jax.random.PRNGKey(1), batch)
+    dev_batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    stacked = jax.tree_util.tree_map(lambda x: jnp.stack([x] * K), dev_batch)
+
+    # --- LDM training throughput (frozen-VAE encode + DiT update, fused K) ----
+    state, m = task.train_steps(state, stacked)
+    jax.block_until_ready(m["train_loss"])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state, m = task.train_steps(state, stacked)
+    jax.block_until_ready(m["train_loss"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "ldm_train_cells_per_sec",
+        "value": round(BATCH * K * 5 / dt, 1),
+        "unit": "cells/s",
+        "vs_baseline": None,
+    }))
+
+    # --- CFG generation throughput (euler-250: full pipeline incl. NB decode) --
+    class _E:
+        class_vocab_sizes = {"clusters": 14}
+        mu_size_factor = {"clusters": {i: 8.6 for i in range(14)}}
+        sd_size_factor = {"clusters": {i: 0.3 for i in range(14)}}
+        joint_key = None
+        joint_components = None
+        joint_idx_2_classes = None
+
+    sfs = SizeFactorSampler(_E())
+    num_steps = 250
+    fn = task.make_sample_fn(
+        sfs, guidance_weight={"clusters": 1.0}, sampling_method="euler",
+        num_steps=num_steps, use_ema=True,
+    )
+    genes = jnp.asarray(batch["genes"])
+    cond = {"clusters": jnp.asarray(batch["clusters"])}
+    counts, z = fn(state, jax.random.PRNGKey(2), genes, cond)
+    jax.block_until_ready(counts)
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        counts, z = fn(state, jax.random.PRNGKey(3 + i), genes, cond)
+    jax.block_until_ready(counts)
+    dt = time.perf_counter() - t0
+    cells_per_sec = 2 * BATCH * reps / dt  # doubled batch: uncond + cond halves
+    denoiser_steps_per_sec = num_steps * reps / dt
+    print(json.dumps({
+        "metric": "cfg_generation_cells_per_sec",
+        "value": round(cells_per_sec, 1),
+        "unit": "cells/s",
+        "vs_baseline": None,
+    }))
+    print(json.dumps({
+        "metric": "sampler_denoiser_steps_per_sec",
+        "value": round(denoiser_steps_per_sec, 1),
+        "unit": "steps/s (euler-250, batch 256 CFG)",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

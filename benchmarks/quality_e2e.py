@@ -96,14 +96,16 @@ def main():
     vae = build_transformer_vae(n_genes=args.genes, dtype=jnp.bfloat16)
     vae_task = VAETask(vae, num_training_steps=steps, learning_rate=1e-3)
     state = vae_task.init_state(jax.random.PRNGKey(0), train_b[0])
+    # one fused dispatch per epoch (train_steps): avoids per-step host latency
+    stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in train_b]) for k in train_b[0]}
     t0 = time.time()
     for epoch in range(args.epochs):
-        for b in train_b:
-            state, m = vae_task.train_step(state, b)
+        state, m = vae_task.train_steps(state, stacked)
+        print(f"vae epoch {epoch} loss {float(m['train_loss']):.2f}", flush=True)
     vae_time = time.time() - t0
     val = vae_task.eval_step(state, val_b[0], jax.random.PRNGKey(1))
     vae_metrics = {k: float(v) for k, v in val.items()}
-    print("VAE:", json.dumps(vae_metrics), f"({vae_time:.0f}s)")
+    print("VAE:", json.dumps(vae_metrics), f"({vae_time:.0f}s)", flush=True)
 
     # ---- stage 2: LDM on frozen VAE -----------------------------------------
     dit = DiT(
@@ -120,11 +122,11 @@ def main():
     t0 = time.time()
     losses = []
     for epoch in range(args.ldm_epochs):
-        for b in train_b:
-            lstate, m = ldm.train_step(lstate, b)
+        lstate, m = ldm.train_steps(lstate, stacked)
         losses.append(float(m["train_loss"]))
+        print(f"ldm epoch {epoch} loss {losses[-1]:.4f}", flush=True)
     ldm_time = time.time() - t0
-    print(f"LDM: loss {losses[0]:.4f} -> {losses[-1]:.4f} ({ldm_time:.0f}s)")
+    print(f"LDM: loss {losses[0]:.4f} -> {losses[-1]:.4f} ({ldm_time:.0f}s)", flush=True)
 
     # ---- generation + metrics ------------------------------------------------
     mu_sf = {"clusters": {i: 8.6 for i in range(n_clusters)}}
