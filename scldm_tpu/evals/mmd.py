@@ -15,7 +15,9 @@ import jax.numpy as jnp
 def rbf_kernel(x: jax.Array, y: jax.Array, scale: float = 1.0) -> jax.Array:
     x_norm = jnp.sum(x * x, axis=1, keepdims=True)
     y_norm = jnp.sum(y * y, axis=1, keepdims=True)
-    sq = x_norm - 2.0 * x @ y.T + y_norm.T
+    # clamp: fp32 cancellation on large raw counts can drive the expanded
+    # squared distance negative, which exp(-scale * sq) turns into inf
+    sq = jnp.maximum(x_norm - 2.0 * x @ y.T + y_norm.T, 0.0)
     return jnp.exp(-scale * sq)
 
 
