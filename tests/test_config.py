@@ -109,3 +109,16 @@ class TestBuilders:
         assert compute_max_steps(cfg, n_cells=12_800) == 10 * 100
         cfg["training"]["max_steps"] = 77
         assert compute_max_steps(cfg, n_cells=12_800) == 77
+
+
+def test_census_config_builds():
+    cfg = load_config(CONFIG_ROOT / "vae_training.yaml")
+    # swap the model group for the census-scale variant
+    census = load_config(CONFIG_ROOT / "model" / "vae_census.yaml")
+    cfg["model"] = census
+    cfg = resolve(merge_overrides(cfg, ["datamodule.dataset=homo_sapiens"]))
+    assert cfg["model"]["vae"]["n_embed"] == 512
+    assert cfg["model"]["remat"] is True
+    assert cfg["model"]["vae"]["n_genes"] == 36130
+    vae = build_vae(cfg)
+    assert vae.encoder.remat is True
