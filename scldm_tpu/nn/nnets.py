@@ -311,7 +311,7 @@ class DiT(nn.Module):
         self, condition: Dict[str, jax.Array], batch: int, force_drop_ids: bool
     ) -> jax.Array:
         available = [n for n in self.class_names if n in condition]
-        if available and (force_drop_ids or len(available) > 1):
+        if available and (force_drop_ids or len(available) > 1) and self.has_rng("condition"):
             rng = self.make_rng("condition")
             k_sel, k_drop = jax.random.split(rng)
             selected = jax.random.randint(k_sel, (), 0, len(available))
@@ -321,6 +321,12 @@ class DiT(nn.Module):
                 else None
             )
         else:
+            # no "condition" rng provided: deterministic first-class selection,
+            # no dropout. (The reference draws from torch's unseeded global rng
+            # even at eval, nnets.py:395 — callers that want the stochastic
+            # selection pass rngs={"condition": key}.)
+            if force_drop_ids:
+                raise ValueError("training CFG dropout requires rngs={'condition': key}")
             selected = jnp.asarray(0)
             drop_mask = None
 
@@ -369,6 +375,13 @@ class DiT(nn.Module):
         return self._mutually_exclusive_embedding(condition, batch, force_drop_ids)
 
     # -- forward (nnets.py:273-297) -------------------------------------------
+    def _trunk(self, x: jax.Array, t_embedding: jax.Array, train: bool) -> jax.Array:
+        x = self.input_proj(x.astype(self.dtype))
+        x = x + self.pos_embed.astype(x.dtype)
+        for block in self.blocks:
+            x = block(x, condition=t_embedding, deterministic=not train)
+        return self.final_layer(x, t_embedding).astype(jnp.float32)
+
     def __call__(
         self,
         x: jax.Array,  # (B, seq_len, n_embed_input)
@@ -385,11 +398,7 @@ class DiT(nn.Module):
         if cond_emb is not None:
             t_embedding = t_embedding + cond_emb
 
-        x = self.input_proj(x.astype(self.dtype))
-        x = x + self.pos_embed.astype(x.dtype)
-        for block in self.blocks:
-            x = block(x, condition=t_embedding, deterministic=not train)
-        return self.final_layer(x, t_embedding).astype(jnp.float32)
+        return self._trunk(x, t_embedding, train)
 
     # -- CFG sampling (nnets.py:336-378) ---------------------------------------
     def forward_with_cfg(
@@ -424,6 +433,71 @@ class DiT(nn.Module):
                     cond_out_half = cond_out_half + cfg_scale[name] * (cond_pred - base_half)
 
         return jnp.concatenate([uncond_half, cond_out_half], axis=0)
+
+    def forward_with_cfg_batched(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        condition: Optional[Dict[str, jax.Array]] = None,
+        cfg_scale: Optional[Dict[str, float]] = None,
+    ) -> jax.Array:
+        """`forward_with_cfg` with all guidance branches fused into ONE model
+        call: rows = [uncond(2B) | class_1 cond(B) | ... | class_k cond(B)].
+
+        Per-row conditioning uses the no-dropout sum of class embeddings with
+        null tokens for inactive classes — exactly what the reference's
+        per-segment single-class forwards compute (the mutually-exclusive
+        embedding with one available class degenerates to cond_emb + null
+        embeddings of the other classes). Equivalence-tested against
+        forward_with_cfg for both strategies."""
+        batch = x.shape[0]
+        half = batch // 2
+        if not (condition and cfg_scale and self.class_names):
+            uncond = {n: self._null_tokens(n, batch) for n in self.class_names}
+            return self(x, t, uncond, force_drop_ids=False)
+
+        if self.condition_strategy == "joint":
+            # segments: uncond(2B) | all-classes cond(B)
+            seg_x = jnp.concatenate([x, x[half:]])
+            seg_t = jnp.concatenate([t, t[half:]])
+            seg_cond = {
+                n: jnp.concatenate(
+                    [self._null_tokens(n, batch), condition[n][half:].astype(jnp.int32)]
+                )
+                for n in self.class_names
+            }
+            scale_segments = [("__joint__", sum(cfg_scale.values()) / len(cfg_scale))]
+        else:
+            scale_names = sorted(cfg_scale.keys())
+            seg_x = jnp.concatenate([x] + [x[half:]] * len(scale_names))
+            seg_t = jnp.concatenate([t] + [t[half:]] * len(scale_names))
+            seg_cond = {}
+            for n in self.class_names:
+                cols = [self._null_tokens(n, batch)]
+                for name in scale_names:
+                    cols.append(
+                        condition[n][half:].astype(jnp.int32)
+                        if n == name
+                        else self._null_tokens(n, half)
+                    )
+                seg_cond[n] = jnp.concatenate(cols)
+            scale_segments = [(name, cfg_scale[name]) for name in scale_names]
+
+        rows = seg_x.shape[0]
+        t_embedding = self.t_embedder(seg_t)[:, None, :]
+        # no-dropout per-row sum of class embeddings (see docstring)
+        t_embedding = t_embedding + self._joint_embedding(
+            seg_cond, rows, force_drop_ids=False
+        )
+        out = self._trunk(seg_x, t_embedding, train=False)
+
+        uncond_out = out[:batch]
+        base_half = uncond_out[half:]
+        guided = base_half
+        for i, (_, scale) in enumerate(scale_segments):
+            cond_pred = out[batch + i * half : batch + (i + 1) * half]
+            guided = guided + scale * (cond_pred - base_half)
+        return jnp.concatenate([uncond_out[:half], guided])
 
     def forward_with_cfg_joint(
         self,

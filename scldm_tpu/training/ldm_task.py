@@ -256,13 +256,15 @@ class LDMTask:
             )
 
             def model_fn(x, t, condition=None):
+                # batched-CFG: one fused model call per denoiser step
+                # (equivalent to the reference's separate uncond/cond forwards)
                 return self.dit.apply(
                     dit_params,
                     x,
                     t,
                     condition,
                     cfg_scale=guidance_weight,
-                    method="forward_with_cfg",
+                    method="forward_with_cfg_batched",
                 )
 
             samples = sample_ode(z_cfg, model_fn, condition=condition_cfg)

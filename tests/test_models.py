@@ -258,3 +258,49 @@ def test_remat_variant_matches_forward():
         return out["mu"].sum()
     g = jax.grad(lambda p: loss(p))(params)
     assert np.isfinite(float(jax.tree_util.tree_leaves(g)[0].sum()))
+
+
+class TestCFGBatched:
+    def _make(self, strategy="mutually_exclusive", vocab=None):
+        vocab = vocab or {"clusters": 5}
+        dit = DiT(
+            n_embed=64, n_embed_input=16, n_layer=2, n_head=4, seq_len=16,
+            class_vocab_sizes=vocab, cfg_dropout_prob=0.8, condition_strategy=strategy,
+        )
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (8, 16, 16))
+        t = jax.random.uniform(jax.random.PRNGKey(1), (8,))
+        cond = {k: jax.random.randint(jax.random.PRNGKey(2 + i), (8,), 0, v)
+                for i, (k, v) in enumerate(vocab.items())}
+        params = dit.init(
+            {"params": key, "condition": key}, x[:4], t[:4],
+            {k: v[:4] for k, v in cond.items()}, train=True,
+        )
+        return dit, params, x, t, cond
+
+    @pytest.mark.parametrize("scale", [0.0, 1.0, 2.5])
+    def test_batched_equals_looped(self, scale):
+        dit, params, x, t, cond = self._make()
+        a = dit.apply(params, x, t, cond, {"clusters": scale}, method="forward_with_cfg")
+        b = dit.apply(params, x, t, cond, {"clusters": scale}, method="forward_with_cfg_batched")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    def test_batched_equals_looped_multiclass(self):
+        dit, params, x, t, cond = self._make(vocab={"a": 3, "b": 4})
+        scales = {"a": 1.5, "b": 0.7}
+        a = dit.apply(params, x, t, cond, scales, method="forward_with_cfg")
+        b = dit.apply(params, x, t, cond, scales, method="forward_with_cfg_batched")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    def test_batched_equals_joint(self):
+        dit, params, x, t, cond = self._make(strategy="joint", vocab={"a": 3, "b": 4})
+        scales = {"a": 1.0, "b": 1.0}
+        a = dit.apply(params, x, t, cond, scales, method="forward_with_cfg")
+        b = dit.apply(params, x, t, cond, scales, method="forward_with_cfg_batched")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    def test_batched_no_condition(self):
+        dit, params, x, t, cond = self._make()
+        a = dit.apply(params, x, t, None, None, method="forward_with_cfg")
+        b = dit.apply(params, x, t, None, None, method="forward_with_cfg_batched")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
