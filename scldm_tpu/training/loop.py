@@ -113,6 +113,12 @@ def fit(
             if step - last_logged >= log_every_steps:
                 last_logged = step
                 metrics = {k: float(v) for k, v in metrics.items()}
+                # fail fast on numerical blowup (reference models.py:1049-1051
+                # raises on NaN losses; here it guards every task)
+                if not np.isfinite(metrics.get("train_loss", 0.0)):
+                    raise FloatingPointError(
+                        f"non-finite train_loss at step {step}: {metrics['train_loss']}"
+                    )
                 now = time.perf_counter()
                 metrics["cells_per_sec"] = cells_seen / (now - t_last)
                 t_last, cells_seen = now, 0
