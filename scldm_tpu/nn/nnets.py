@@ -229,6 +229,63 @@ class Decoder(nn.Module):
         )(x, q=q, condition=condition, deterministic=not train)
 
 
+def build_cfg_segments(x, t, condition, cfg_scale, class_vocab_sizes, strategy):
+    """Construct the fused-CFG row layout: [uncond(2B) | per-class cond(B)...].
+
+    Shared by DiT.forward_with_cfg_batched and the Pallas fused-DiT sampler
+    path. Returns (seg_x, seg_t, seg_cond, scale_segments, batch, half)."""
+    batch = x.shape[0]
+    half = batch // 2
+    class_names = tuple(sorted(class_vocab_sizes.keys()))
+
+    def null(n, rows):
+        return jnp.full((rows,), class_vocab_sizes[n], dtype=jnp.int32)
+
+    if not (condition and cfg_scale and class_names):
+        return (
+            x,
+            t,
+            {n: null(n, batch) for n in class_names},
+            [],
+            batch,
+            half,
+        )
+
+    if strategy == "joint":
+        seg_x = jnp.concatenate([x, x[half:]])
+        seg_t = jnp.concatenate([t, t[half:]])
+        seg_cond = {
+            n: jnp.concatenate([null(n, batch), condition[n][half:].astype(jnp.int32)])
+            for n in class_names
+        }
+        scale_segments = [("__joint__", sum(cfg_scale.values()) / len(cfg_scale))]
+    else:
+        scale_names = sorted(cfg_scale.keys())
+        seg_x = jnp.concatenate([x] + [x[half:]] * len(scale_names))
+        seg_t = jnp.concatenate([t] + [t[half:]] * len(scale_names))
+        seg_cond = {}
+        for n in class_names:
+            cols = [null(n, batch)]
+            for name in scale_names:
+                cols.append(
+                    condition[n][half:].astype(jnp.int32) if n == name else null(n, half)
+                )
+            seg_cond[n] = jnp.concatenate(cols)
+        scale_segments = [(name, cfg_scale[name]) for name in scale_names]
+    return seg_x, seg_t, seg_cond, scale_segments, batch, half
+
+
+def combine_cfg_segments(out, scale_segments, batch, half):
+    """Fold the segmented model output back into [uncond(B/2) | guided(B/2)]."""
+    uncond_out = out[:batch]
+    base_half = uncond_out[half:]
+    guided = base_half
+    for i, (_, scale) in enumerate(scale_segments):
+        cond_pred = out[batch + i * half : batch + (i + 1) * half]
+        guided = guided + scale * (cond_pred - base_half)
+    return jnp.concatenate([uncond_out[:half], guided])
+
+
 # ---------------------------------------------------------------------------
 # DiT denoiser (nnets.py:216-492)
 # ---------------------------------------------------------------------------
@@ -450,54 +507,19 @@ class DiT(nn.Module):
         embedding with one available class degenerates to cond_emb + null
         embeddings of the other classes). Equivalence-tested against
         forward_with_cfg for both strategies."""
-        batch = x.shape[0]
-        half = batch // 2
-        if not (condition and cfg_scale and self.class_names):
-            uncond = {n: self._null_tokens(n, batch) for n in self.class_names}
-            return self(x, t, uncond, force_drop_ids=False)
+        seg_x, seg_t, seg_cond, scale_segments, batch, half = build_cfg_segments(
+            x, t, condition, cfg_scale, self.class_vocab_sizes or {}, self.condition_strategy
+        )
+        if not scale_segments:
+            return self(seg_x, seg_t, seg_cond, force_drop_ids=False)
 
-        if self.condition_strategy == "joint":
-            # segments: uncond(2B) | all-classes cond(B)
-            seg_x = jnp.concatenate([x, x[half:]])
-            seg_t = jnp.concatenate([t, t[half:]])
-            seg_cond = {
-                n: jnp.concatenate(
-                    [self._null_tokens(n, batch), condition[n][half:].astype(jnp.int32)]
-                )
-                for n in self.class_names
-            }
-            scale_segments = [("__joint__", sum(cfg_scale.values()) / len(cfg_scale))]
-        else:
-            scale_names = sorted(cfg_scale.keys())
-            seg_x = jnp.concatenate([x] + [x[half:]] * len(scale_names))
-            seg_t = jnp.concatenate([t] + [t[half:]] * len(scale_names))
-            seg_cond = {}
-            for n in self.class_names:
-                cols = [self._null_tokens(n, batch)]
-                for name in scale_names:
-                    cols.append(
-                        condition[n][half:].astype(jnp.int32)
-                        if n == name
-                        else self._null_tokens(n, half)
-                    )
-                seg_cond[n] = jnp.concatenate(cols)
-            scale_segments = [(name, cfg_scale[name]) for name in scale_names]
-
-        rows = seg_x.shape[0]
         t_embedding = self.t_embedder(seg_t)[:, None, :]
         # no-dropout per-row sum of class embeddings (see docstring)
         t_embedding = t_embedding + self._joint_embedding(
-            seg_cond, rows, force_drop_ids=False
+            seg_cond, seg_x.shape[0], force_drop_ids=False
         )
         out = self._trunk(seg_x, t_embedding, train=False)
-
-        uncond_out = out[:batch]
-        base_half = uncond_out[half:]
-        guided = base_half
-        for i, (_, scale) in enumerate(scale_segments):
-            cond_pred = out[batch + i * half : batch + (i + 1) * half]
-            guided = guided + scale * (cond_pred - base_half)
-        return jnp.concatenate([uncond_out[:half], guided])
+        return combine_cfg_segments(out, scale_segments, batch, half)
 
     def forward_with_cfg_joint(
         self,

@@ -229,6 +229,7 @@ class LDMTask:
         sampling_method: str = "dopri5",
         num_steps: int = 50,
         use_ema: bool = True,
+        fused_blocks: bool = True,
     ):
         """One jitted program: noise -> CFG ODE -> decode -> NB counts.
 
@@ -255,9 +256,32 @@ class LDMTask:
                 else None
             )
 
+            use_fused = (
+                fused_blocks
+                and jax.default_backend() == "tpu"
+                and self.dit.dropout == 0.0
+            )
+
             def model_fn(x, t, condition=None):
                 # batched-CFG: one fused model call per denoiser step
                 # (equivalent to the reference's separate uncond/cond forwards)
+                if use_fused:
+                    from scldm_tpu.nn.nnets import build_cfg_segments, combine_cfg_segments
+                    from scldm_tpu.ops.fused_dit import fused_dit_forward
+
+                    seg_x, seg_t, seg_cond, scale_segments, b, h = build_cfg_segments(
+                        x, t, condition, guidance_weight,
+                        self.dit.class_vocab_sizes or {}, self.dit.condition_strategy,
+                    )
+                    out = fused_dit_forward(
+                        dit_params, seg_x, seg_t, seg_cond,
+                        n_layer=self.dit.n_layer, n_head=self.dit.n_head,
+                        n_embed=self.dit.n_embed, seq_len=self.dit.seq_len,
+                        eps=self.dit.layernorm_eps,
+                    )
+                    if not scale_segments:
+                        return out
+                    return combine_cfg_segments(out, scale_segments, b, h)
                 return self.dit.apply(
                     dit_params,
                     x,

@@ -1,0 +1,100 @@
+"""Fused DiT-block Pallas kernel equivalence vs the flax Block."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scldm_tpu.nn.layers import Block
+from scldm_tpu.ops.fused_dit import extract_block_params, fused_dit_block
+
+R, T, E, H = 12, 16, 64, 4
+
+
+@pytest.fixture(scope="module")
+def block_setup():
+    block = Block(
+        n_embed=E, n_head=H, bias=True, multiple_of=4, layernorm_eps=1e-8,
+        use_adaln=True, elementwise_affine=False,
+    )
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (R, T, E))
+    c = jax.random.normal(jax.random.PRNGKey(1), (R, 1, E))
+    params = block.init(key, x, condition=c)
+    # adaLN weights are zero-init; randomize so the test exercises real math
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    flat = {
+        k: (jax.random.normal(jax.random.PRNGKey(i), v.shape) * 0.05 if "adaln" in k[0] else v)
+        for i, (k, v) in enumerate(flat.items())
+    }
+    params = {"params": flax.traverse_util.unflatten_dict(flat)}
+    return block, params, x, c
+
+
+def test_fused_matches_flax_block(block_setup):
+    block, params, x, c = block_setup
+    want = block.apply(params, x, condition=c)
+    kp = extract_block_params(params["params"])
+    got = fused_dit_block(x, c[:, 0, :], kp, n_head=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_row_padding(block_setup):
+    """Row counts that don't divide block_rows pad + unpad correctly."""
+    block, params, x, c = block_setup
+    kp = extract_block_params(params["params"])
+    got = fused_dit_block(x[:5], c[:5, 0, :], kp, n_head=H, block_rows=8, interpret=True)
+    want = block.apply(params, x[:5], condition=c[:5])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_bf16(block_setup):
+    block, params, x, c = block_setup
+    kp = extract_block_params(params["params"])
+    kp16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), kp)
+    got = fused_dit_block(
+        x.astype(jnp.bfloat16), c[:, 0, :].astype(jnp.bfloat16), kp16, n_head=H,
+        interpret=True,
+    )
+    want = block.apply(params, x, condition=c)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_fused_dit_forward_matches_module():
+    """Full fused forward (param-tree path) == DiT.forward_with_cfg_batched."""
+    from scldm_tpu.nn import DiT
+    from scldm_tpu.nn.nnets import build_cfg_segments, combine_cfg_segments
+    from scldm_tpu.ops.fused_dit import fused_dit_forward
+    import flax
+
+    vocab = {"clusters": 5}
+    dit = DiT(n_embed=64, n_embed_input=16, n_layer=2, n_head=4, seq_len=16,
+              class_vocab_sizes=vocab, cfg_dropout_prob=0.8, bias=True)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 16, 16))
+    t = jax.random.uniform(jax.random.PRNGKey(1), (8,))
+    cond = {"clusters": jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 5)}
+    params = dit.init({"params": key, "condition": key}, x[:4], t[:4],
+                      {"clusters": cond["clusters"][:4]}, train=True)
+    # randomize the zero-init layers so the comparison is nontrivial
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    flat = {k: (jax.random.normal(jax.random.PRNGKey(i), v.shape) * 0.05
+                if ("adaln" in "/".join(k) or k[-2:] == ("linear", "kernel")) else v)
+            for i, (k, v) in enumerate(flat.items())}
+    params = {"params": flax.traverse_util.unflatten_dict(flat)}
+
+    scales = {"clusters": 1.5}
+    want = dit.apply(params, x, t, cond, scales, method="forward_with_cfg_batched")
+
+    seg_x, seg_t, seg_cond, scale_segments, b, h = build_cfg_segments(
+        x, t, cond, scales, vocab, "mutually_exclusive")
+    out = fused_dit_forward(
+        params, seg_x, seg_t, seg_cond,
+        n_layer=2, n_head=4, n_embed=64, seq_len=16, eps=1e-8, interpret=True,
+    )
+    got = combine_cfg_segments(out, scale_segments, b, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4)
