@@ -55,12 +55,24 @@ def _block_kernel(
     qkv = h.reshape(R * T, E) @ wqkv_ref[...].astype(jnp.float32) + bqkv_ref[
         ...
     ].astype(jnp.float32)
-    qkv = qkv.reshape(R, T, 3, n_head, E // n_head)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (R, T, H, hd)
-    scale = 1.0 / (E // n_head) ** 0.5
-    scores = jnp.einsum("rthd,rshd->rhts", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores * scale, axis=-1)
-    attn = jnp.einsum("rhts,rshd->rthd", probs, v).reshape(R, T, E)
+    hd = E // n_head
+    scale = 1.0 / hd**0.5
+    # Mosaic-friendly attention: only 2-D column slices, leading-dim reshapes,
+    # and 3-D batched matmuls (batch over rows). n_head/static -> unrolled.
+    batched_qk = (((2,), (2,)), ((0,), (0,)))  # contract hd, batch R
+    batched_pv = (((2,), (1,)), ((0,), (0,)))  # contract S, batch R
+    head_outs = []
+    for hidx in range(n_head):
+        qh = qkv[:, hidx * hd : (hidx + 1) * hd].reshape(R, T, hd)
+        kh = qkv[:, E + hidx * hd : E + (hidx + 1) * hd].reshape(R, T, hd)
+        vh = qkv[:, 2 * E + hidx * hd : 2 * E + (hidx + 1) * hd].reshape(R, T, hd)
+        s = jax.lax.dot_general(qh, kh, batched_qk, preferred_element_type=jnp.float32)
+        ph = jax.nn.softmax(s * scale, axis=-1)  # (R, T, T)
+        head_outs.append(
+            jax.lax.dot_general(ph, vh, batched_pv, preferred_element_type=jnp.float32)
+        )
+    attn = jnp.concatenate([o.reshape(R * T, hd) for o in head_outs], axis=-1)
+    attn = attn.reshape(R, T, E)
     attn = attn.reshape(R * T, E) @ wproj_ref[...].astype(jnp.float32) + bproj_ref[
         ...
     ].astype(jnp.float32)
@@ -84,7 +96,7 @@ def fused_dit_block(
     params: Dict[str, jax.Array],
     n_head: int,
     eps: float = 1e-8,
-    block_rows: int = 128,
+    block_rows: int = 64,  # f32 working set must fit the ~16M VMEM scoped stack
     interpret: bool = False,
 ) -> jax.Array:
     R, T, E = x.shape
