@@ -145,7 +145,7 @@ class LDMTask:
         return jax.lax.stop_gradient(z)
 
     def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
-        rng, rng_t, rng_c = jax.random.split(state.rng, 3)
+        rng, rng_t, rng_c, rng_d = jax.random.split(state.rng, 4)
         z = self._encode(batch)
         condition = split_condition(batch, self.dit.class_vocab_sizes or {})
 
@@ -157,7 +157,7 @@ class LDMTask:
                     t,
                     condition,
                     train=True,
-                    rngs={"condition": rng_c},
+                    rngs={"condition": rng_c, "dropout": rng_d},
                 )
 
             terms = self.transport.training_losses(

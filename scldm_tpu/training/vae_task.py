@@ -123,7 +123,8 @@ class VAETask:
             )
         return state
 
-    def _apply(self, params, batch, train: bool):
+    def _apply(self, params, batch, train: bool, rng: Optional[jax.Array] = None):
+        rngs = {"dropout": rng} if (train and rng is not None) else None
         return self.vae.apply(
             params,
             counts=batch[COUNTS],
@@ -132,12 +133,15 @@ class VAETask:
             counts_subset=batch.get(C_SUB, batch[COUNTS]),
             genes_subset=batch.get(G_SUB, batch[GENES]),
             train=train,
+            rngs=rngs,
         )
 
     # -- steps -----------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        rng, rng_d = jax.random.split(state.rng)
+
         def loss_fn(params):
-            out, _ = self._apply(params, batch, train=True)
+            out, _ = self._apply(params, batch, train=True, rng=rng_d)
             loss = vae_loss(batch[COUNTS], out, self.gaussian_head)
             aux = {"llh": loss}
             if "theta" in out:
@@ -158,7 +162,7 @@ class VAETask:
         if self.calculate_grad_norms:
             mets.update(M.grad_norms_by_module(grads))
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
         )
         return new_state, mets
 

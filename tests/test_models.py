@@ -304,3 +304,37 @@ class TestCFGBatched:
         a = dit.apply(params, x, t, None, None, method="forward_with_cfg")
         b = dit.apply(params, x, t, None, None, method="forward_with_cfg_batched")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("agg", ["log1pzero", "anscombe", "sqrt", "proj", "projconcat", "softbin"])
+def test_agg_func_variants(agg):
+    """Every count-injection transform (incl. learned projections) runs."""
+    vae = build_transformer_vae(
+        n_genes=N_GENES, n_embed=16, n_embed_latent=8, n_layer=1,
+        n_inducing_points=4, n_head=2, n_head_cross=2, agg_func=agg,
+    )
+    batch = _make_batch(jax.random.PRNGKey(0))
+    params = vae.init(jax.random.PRNGKey(0), **batch)
+    out, h_z = vae.apply(params, **batch)
+    assert np.isfinite(np.asarray(out["mu"])).all()
+    assert h_z.shape == (B, 4, 8)
+
+
+def test_dropout_training_path():
+    """dropout > 0 trains with a dropout rng threaded by the task."""
+    from scldm_tpu.training.vae_task import VAETask
+    from tests.test_training import make_batch
+
+    vae = build_transformer_vae(
+        n_genes=40, n_embed=16, n_embed_latent=8, n_layer=1,
+        n_inducing_points=4, n_head=2, n_head_cross=2, dropout=0.2,
+    )
+    task = VAETask(vae, num_training_steps=10)
+    batch = make_batch(jax.random.PRNGKey(0))
+    state = task.init_state(jax.random.PRNGKey(1), batch)
+    state, m = task.train_step(state, batch)
+    assert np.isfinite(float(m["train_loss"]))
+    # eval is deterministic (no dropout)
+    m1 = task.eval_step(state, batch, jax.random.PRNGKey(2))
+    m2 = task.eval_step(state, batch, jax.random.PRNGKey(2))
+    assert float(m1["val_loss"]) == float(m2["val_loss"])
