@@ -7,6 +7,24 @@ config files and batch dicts use identical keys.
 from enum import Enum
 
 
+class DatasetEnum(str, Enum):
+    """Census obs-column keys (reference constants.py:4-19)."""
+
+    TISSUE = "tissue"
+    TISSUE_GENERAL = "tissue_general"
+    DONOR_ID = "donor_id"
+    ASSAY = "assay"
+    SUSPENSION_TYPE = "suspension_type"
+    DATASET_ID = "dataset_id"
+    NNZ = "nnz"
+    RAW_SUM = "raw_sum"
+    N_MEASURED_VARS = "n_measured_vars"
+    SEX = "sex"
+    DISEASE = "disease"
+    DEVELOPMENT_STAGE = "development_stage"
+    CELL_TYPE = "cell_type"
+
+
 class ModelEnum(str, Enum):
     """Keys of model-facing batch entries."""
 
