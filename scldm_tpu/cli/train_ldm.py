@@ -57,15 +57,24 @@ def load_vae_from_checkpoint(cfg: dict, example_batch: dict):
     vae = build_vae(cfg)
     import jax.numpy as jnp
 
-    init_params = vae.init(
+    b = example_batch["library_size"].shape[0]
+    n_genes = cfg["model"]["vae"]["n_genes"]
+    counts = jnp.asarray(
+        example_batch.get("counts", jnp.zeros((b, n_genes), jnp.float32))
+    )
+    genes = jnp.asarray(
+        example_batch.get(
+            "genes",
+            jnp.broadcast_to(jnp.arange(1, n_genes + 1, dtype=jnp.int32), (b, n_genes)),
+        )
+    )
+    init_params = jax.jit(vae.init)(
         jax.random.PRNGKey(0),
-        counts=jnp.asarray(example_batch["counts"]),
-        genes=jnp.asarray(example_batch["genes"]),
+        counts=counts,
+        genes=genes,
         library_size=jnp.asarray(example_batch["library_size"]),
-        counts_subset=jnp.asarray(
-            example_batch.get("counts_subset", example_batch["counts"])
-        ),
-        genes_subset=jnp.asarray(example_batch.get("genes_subset", example_batch["genes"])),
+        counts_subset=jnp.asarray(example_batch.get("counts_subset", counts)),
+        genes_subset=jnp.asarray(example_batch.get("genes_subset", genes)),
     )
     # restore only the params subtree of the VAE train state
     from scldm_tpu.training.vae_task import VAETask  # template construction

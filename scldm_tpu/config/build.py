@@ -65,6 +65,7 @@ def build_datamodule(
         num_hosts=num_hosts,
         host_index=host_index,
         allow_missing_train=dm.get("allow_missing_train", False),
+        dense_transfer=dm.get("dense_transfer", True),
     )
 
 

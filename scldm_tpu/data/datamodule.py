@@ -132,6 +132,7 @@ class DataModule:
         host_index: int = 0,
         prefetch: int = 4,
         allow_missing_train: bool = False,
+        dense_transfer: bool = True,
     ):
         self.vocabulary_encoder = vocabulary_encoder
         self.train_adata_path = train_adata_path
@@ -151,6 +152,9 @@ class DataModule:
         self.host_index = host_index
         self.prefetch = prefetch
         self.allow_missing_train = allow_missing_train
+        # False: omit the dense counts/genes from batches ("expressed" only) —
+        # the train step rebuilds them on device (ops.transforms.densify_expressed)
+        self.dense_transfer = dense_transfer
 
         self._pool = _ShardPool(max_cache_size)
         self._is_setup = False
@@ -317,17 +321,36 @@ class DataModule:
             batch[label] = self._encoded_labels(path, f, label)[lo:hi]
         return batch
 
+    def _make_lean(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Drop the dense counts/genes (training stream only): the train step
+        rebuilds them on device from the lossless expressed subsets."""
+        if self.sample_genes == "expressed" and ModelEnum.COUNTS_SUBSET.value in batch:
+            return {
+                k: v
+                for k, v in batch.items()
+                if k not in (ModelEnum.COUNTS.value, ModelEnum.GENES.value)
+            }
+        return batch
+
     def _iter_specs(
-        self, specs: List[Tuple[str, int, int]], epoch: int, shuffle: bool
+        self,
+        specs: List[Tuple[str, int, int]],
+        epoch: int,
+        shuffle: bool,
+        lean: bool = False,
     ) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(specs))
         if shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(order)
         order = order[self.host_index :: self.num_hosts]
 
+        post = self._make_lean if lean else (lambda b: b)
+
         if self.prefetch <= 0:
             for i in order:
-                yield self._make_batch(specs[i], seed=self.seed + epoch * 100_003 + int(i))
+                yield post(
+                    self._make_batch(specs[i], seed=self.seed + epoch * 100_003 + int(i))
+                )
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -338,7 +361,13 @@ class DataModule:
                 for i in order:
                     if stop.is_set():
                         return
-                    q.put(self._make_batch(specs[i], seed=self.seed + epoch * 100_003 + int(i)))
+                    q.put(
+                        post(
+                            self._make_batch(
+                                specs[i], seed=self.seed + epoch * 100_003 + int(i)
+                            )
+                        )
+                    )
             except Exception as e:  # surface pipeline errors to the consumer
                 q.put(e)
             finally:
@@ -360,7 +389,9 @@ class DataModule:
     # -- public iterators ------------------------------------------------------
     def train_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         assert self._is_setup, "call setup() first"
-        return self._iter_specs(self._train_specs, epoch, shuffle=self.shuffle)
+        return self._iter_specs(
+            self._train_specs, epoch, shuffle=self.shuffle, lean=not self.dense_transfer
+        )
 
     def val_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         assert self._is_setup, "call setup() first"

@@ -46,6 +46,31 @@ COUNT_TRANSFORMS = {
 LEARNED_TRANSFORMS = ("proj", "projconcat", "softbin")
 
 
+def densify_expressed(
+    genes_subset: jax.Array,  # (B, S) gene-token ids, 0 = <MASK> padding
+    counts_subset: jax.Array,  # (B, S)
+    n_genes: int,
+) -> jax.Array:
+    """Reconstruct the dense (B, n_genes) count matrix on device.
+
+    The "expressed" tokenization captures every nonzero (tokenize.py), so the
+    dense matrix is exactly recoverable by scattering — which means the host
+    never needs to transfer the (mostly-zero) dense counts at all (~10x less
+    host->device traffic at single-cell sparsity).
+    """
+    b, s = genes_subset.shape
+    cols = jnp.clip(genes_subset.astype(jnp.int32) - 1, 0, n_genes - 1)
+    vals = jnp.where(genes_subset > 0, counts_subset, 0.0)
+    rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, s))
+    dense = jnp.zeros((b, n_genes), counts_subset.dtype)
+    return dense.at[rows, cols].add(vals)
+
+
+def full_gene_row(batch: int, n_genes: int) -> jax.Array:
+    """(B, n_genes) gene-token ids 1..n_genes — the constant decoder queries."""
+    return jnp.broadcast_to(jnp.arange(1, n_genes + 1, dtype=jnp.int32), (batch, n_genes))
+
+
 def log1p_cpm(counts: jax.Array, library_size: jax.Array | None = None) -> jax.Array:
     """log1p(counts / library * 10_000) — the scaling used throughout the
     reference validation metrics (models.py:240,321-322,899-900)."""

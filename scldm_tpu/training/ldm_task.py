@@ -110,7 +110,10 @@ class LDMTask:
     def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
         seq_len = self.dit.seq_len
         latent = self.dit.n_embed_input
-        x = jnp.zeros((int(example_batch[COUNTS].shape[0]), seq_len, latent))
+        b = int(example_batch[LIB].shape[0]) if LIB in example_batch else int(
+            example_batch[COUNTS].shape[0]
+        )
+        x = jnp.zeros((b, seq_len, latent))
         t = jnp.zeros((x.shape[0],))
         condition = split_condition(
             {k: jnp.asarray(v) for k, v in example_batch.items()},
@@ -134,10 +137,14 @@ class LDMTask:
 
     # -- internals -----------------------------------------------------------------
     def _encode(self, batch: Dict) -> jax.Array:
+        # the encoder only reads the expressed subsets, so lean batches
+        # (no dense counts transferred) encode directly
+        counts = batch.get(COUNTS, batch.get(C_SUB))
+        genes = batch.get(GENES, batch.get(G_SUB))
         z = self.vae.apply(
             self.vae_params,
-            counts=batch[COUNTS],
-            genes=batch[GENES],
+            counts=counts,
+            genes=genes,
             counts_subset=batch.get(C_SUB),
             genes_subset=batch.get(G_SUB),
             method="encode",

@@ -103,13 +103,13 @@ def fit(
                 )
                 state, metrics = task.train_steps(state, dev)
                 step += len(pending)
-                cells_seen += sum(len(b["counts"]) for b in pending)
+                cells_seen += sum(len(b["library_size"]) for b in pending)
                 pending = []
             else:
                 dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
                 state, metrics = task.train_step(state, dev_batch)
                 step += 1
-                cells_seen += len(batch["counts"])
+                cells_seen += len(batch["library_size"])
             if step - last_logged >= log_every_steps:
                 last_logged = step
                 metrics = {k: float(v) for k, v in metrics.items()}
@@ -137,7 +137,7 @@ def fit(
             dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
             state, metrics = task.train_step(state, dev_batch)
             step += 1
-            cells_seen += len(batch["counts"])
+            cells_seen += len(batch["library_size"])
 
         # -- validation (raw + EMA where the task supports it) -----------------
         if (epoch + 1) % val_every_epochs == 0 and datamodule.n_val_batches > 0:

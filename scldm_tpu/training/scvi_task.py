@@ -69,7 +69,23 @@ class ScviTask:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
+    def _materialize(self, batch: Dict) -> Dict:
+        if COUNTS in batch:
+            return batch
+        from scldm_tpu.ops.transforms import densify_expressed, full_gene_row
+
+        n_genes = self.vae.decoder_head.n_genes
+        counts = densify_expressed(
+            batch["genes_subset"], batch["counts_subset"], n_genes
+        )
+        out = dict(batch)
+        out[COUNTS] = counts
+        out[GENES] = full_gene_row(counts.shape[0], n_genes)
+        return out
+
     def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
+        example_batch = jax.tree_util.tree_map(jnp.asarray, dict(example_batch))
+        example_batch = self._materialize(example_batch)
         variables = jax.jit(self.vae.init, static_argnames=("train",))(
             {"params": rng, "sample": rng},
             counts=jnp.asarray(example_batch[COUNTS]),
@@ -126,6 +142,7 @@ class ScviTask:
         )
 
     def _apply(self, params, batch_stats, batch, rng, train: bool):
+        batch = self._materialize(batch)
         variables = {"params": params["params"], "batch_stats": batch_stats}
         if train:
             (out, posterior, z), mutated = self.vae.apply(

@@ -100,6 +100,14 @@ class VAETask:
 
     # -- init -----------------------------------------------------------------
     def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
+        if COUNTS not in example_batch:  # lean batch: init only needs shapes
+            b = example_batch[LIB].shape[0]
+            n_genes = self.vae.decoder.n_genes
+            example_batch = dict(example_batch)
+            example_batch[COUNTS] = jnp.zeros((b, n_genes), jnp.float32)
+            example_batch[GENES] = jnp.broadcast_to(
+                jnp.arange(1, n_genes + 1, dtype=jnp.int32), (b, n_genes)
+            )
         # jit the init: eager flax init dispatches thousands of tiny ops, which
         # is pathological over remote-device transports
         params = jax.jit(self.vae.init)(
@@ -123,6 +131,22 @@ class VAETask:
             )
         return state
 
+    def _materialize(self, batch: Dict) -> Dict:
+        """Rebuild dense counts / full gene ids on device when the loader sent
+        only the expressed subsets (ops.transforms.densify_expressed)."""
+        if COUNTS in batch:
+            return batch
+        from scldm_tpu.ops.transforms import densify_expressed, full_gene_row
+
+        n_genes = self.vae.decoder.n_genes
+        counts = densify_expressed(batch[G_SUB], batch[C_SUB], n_genes)
+        out = dict(batch)
+        out[COUNTS] = counts
+        out[GENES] = full_gene_row(counts.shape[0], n_genes)
+        if LIB not in out:
+            out[LIB] = counts.sum(1, keepdims=True)
+        return out
+
     def _apply(self, params, batch, train: bool, rng: Optional[jax.Array] = None):
         rngs = {"dropout": rng} if (train and rng is not None) else None
         return self.vae.apply(
@@ -138,6 +162,7 @@ class VAETask:
 
     # -- steps -----------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        batch = self._materialize(batch)
         rng, rng_d = jax.random.split(state.rng)
 
         def loss_fn(params):
@@ -181,6 +206,7 @@ class VAETask:
     def _eval_step_impl(self, params, batch: Dict, rng: jax.Array) -> Dict:
         """Validation metrics (reference models.py:289-333): loss, theta,
         zeros-accuracy, MSE/PCC on log1p-CPM-scaled sampled counts."""
+        batch = self._materialize(batch)
         out, _ = self._apply(params, batch, train=False)
         counts = batch[COUNTS]
         loss = vae_loss(counts, out, self.gaussian_head)

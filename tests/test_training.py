@@ -354,3 +354,44 @@ def test_checkpoint_roundtrip(tmp_path):
     _, m_b = task.train_step(restored, batch)
     assert float(m_a["train_loss"]) == pytest.approx(float(m_b["train_loss"]), rel=1e-6)
     mgr.close()
+
+
+def test_lean_batch_densify_parity():
+    """Training on device-densified lean batches (no dense counts transferred)
+    equals training on full batches."""
+    import jax.numpy as jnp
+
+    from scldm_tpu.nn.vae import build_transformer_vae
+    from scldm_tpu.training.vae_task import VAETask
+
+    vae = build_transformer_vae(
+        n_genes=N_GENES, n_embed=16, n_embed_latent=8, n_layer=1,
+        n_inducing_points=4, n_head=2, n_head_cross=2,
+    )
+    # a full "expressed" batch where subsets losslessly capture the nonzeros
+    key = jax.random.PRNGKey(0)
+    counts = jax.random.poisson(key, 0.8, (8, N_GENES)).astype(jnp.float32)
+    import numpy as _np
+
+    c = _np.asarray(counts)
+    gsub = _np.zeros((8, N_GENES), _np.int64)
+    csub = _np.zeros((8, N_GENES), _np.float32)
+    for i in range(8):
+        nz = _np.nonzero(c[i])[0]
+        gsub[i, : len(nz)] = nz + 1
+        csub[i, : len(nz)] = c[i, nz]
+    full = {
+        "counts": c,
+        "genes": _np.tile(_np.arange(1, N_GENES + 1)[None], (8, 1)),
+        "library_size": c.sum(1, keepdims=True),
+        "counts_subset": csub,
+        "genes_subset": gsub,
+    }
+    lean = {k: v for k, v in full.items() if k not in ("counts", "genes")}
+
+    task = VAETask(vae, num_training_steps=10)
+    s1 = task.init_state(jax.random.PRNGKey(1), full)
+    s2 = task.init_state(jax.random.PRNGKey(1), full)
+    _, m_full = task.train_step(s1, dict(full))
+    _, m_lean = task.train_step(s2, dict(lean))
+    assert float(m_full["train_loss"]) == pytest.approx(float(m_lean["train_loss"]), rel=1e-6)
