@@ -286,7 +286,9 @@ class DataModule:
                 ).astype(np.int64)
         return self._label_cache[key]
 
-    def _make_batch(self, spec: Tuple[str, int, int], seed: Optional[int]) -> Dict[str, np.ndarray]:
+    def _make_batch(
+        self, spec: Tuple[str, int, int], seed: Optional[int], lean: bool = False
+    ) -> Dict[str, np.ndarray]:
         path, lo, hi = spec
         f = self._pool.get(path)
 
@@ -296,7 +298,8 @@ class DataModule:
 
             data, indices, indptr = f.csr_block(lo, hi, self.adata_attr, self.adata_key)
             batch = expressed_batch_from_csr(
-                data, indices, indptr, self._gene_row(path, f), self.genes_seq_len
+                data, indices, indptr, self._gene_row(path, f), self.genes_seq_len,
+                build_dense=not lean,
             )
         else:
             X = f.rows(slice(lo, hi), self.adata_attr, self.adata_key)
@@ -349,7 +352,9 @@ class DataModule:
         if self.prefetch <= 0:
             for i in order:
                 yield post(
-                    self._make_batch(specs[i], seed=self.seed + epoch * 100_003 + int(i))
+                    self._make_batch(
+                        specs[i], seed=self.seed + epoch * 100_003 + int(i), lean=lean
+                    )
                 )
             return
 
@@ -364,7 +369,9 @@ class DataModule:
                     q.put(
                         post(
                             self._make_batch(
-                                specs[i], seed=self.seed + epoch * 100_003 + int(i)
+                                specs[i],
+                                seed=self.seed + epoch * 100_003 + int(i),
+                                lean=lean,
                             )
                         )
                     )

@@ -33,14 +33,17 @@ def expressed_batch_from_csr(
     indptr: np.ndarray,  # (N+1,) local row offsets
     gene_row: np.ndarray,  # (G,) encoded gene-token ids for the file's var_names
     genes_seq_len: int,
+    build_dense: bool = True,
 ) -> Dict[str, np.ndarray]:
+    """build_dense=False skips the host-side dense matrix entirely (lean
+    transfer mode: the train step densifies on device)."""
     n = len(indptr) - 1
     g = len(gene_row)
     nnz_per_row = np.diff(indptr)
     if (nnz_per_row > genes_seq_len).any():
         raise ValueError("genes_seq_len is smaller than number of expressed genes")
 
-    native = _native()
+    native = _native() if build_dense else None
     if native is not None:
         counts, genes_sub, counts_sub, library = native(
             data, indices.astype(np.int64), indptr.astype(np.int64),
@@ -48,8 +51,10 @@ def expressed_batch_from_csr(
         )
     else:
         row_rep = np.repeat(np.arange(n, dtype=np.int64), nnz_per_row)
-        counts = np.zeros((n, g), np.float32)
-        counts.ravel()[row_rep * g + indices] = data
+        counts = None
+        if build_dense:
+            counts = np.zeros((n, g), np.float32)
+            counts.ravel()[row_rep * g + indices] = data
 
         positions = np.arange(len(data), dtype=np.int64) - np.repeat(
             indptr[:-1], nnz_per_row
@@ -61,13 +66,15 @@ def expressed_batch_from_csr(
         counts_sub.ravel()[flat] = data
         library = np.bincount(row_rep, weights=data, minlength=n).astype(np.float32)
 
-    return {
-        GENES: np.broadcast_to(gene_row, (n, g)),
-        COUNTS: counts,
+    out = {
         GENES_SUBSET: genes_sub,
         COUNTS_SUBSET: counts_sub,
         LIBRARY_SIZE: library.reshape(n, 1),
     }
+    if build_dense:
+        out[GENES] = np.broadcast_to(gene_row, (n, g))
+        out[COUNTS] = counts
+    return out
 
 
 # ---------------------------------------------------------------------------
