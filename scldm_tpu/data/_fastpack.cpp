@@ -16,7 +16,7 @@ void fastpack_expressed(
     const int64_t* indptr,     // (n+1,) local row offsets
     const int64_t* gene_row,   // (g,) encoded gene-token ids
     float* counts,             // (n, g) zero-initialized
-    int64_t* genes_sub,        // (n, seq_len) zero-initialized (mask idx 0)
+    int32_t* genes_sub,        // (n, seq_len) zero-initialized (mask idx 0)
     float* counts_sub,         // (n, seq_len) zero-initialized
     float* library,            // (n,)
     int64_t n,
@@ -27,7 +27,7 @@ void fastpack_expressed(
         const int64_t lo = indptr[i];
         const int64_t hi = indptr[i + 1];
         float* counts_row = counts + i * g;
-        int64_t* gsub_row = genes_sub + i * seq_len;
+        int32_t* gsub_row = genes_sub + i * seq_len;
         float* csub_row = counts_sub + i * seq_len;
         float lib = 0.0f;
         for (int64_t k = lo; k < hi; ++k) {
@@ -35,7 +35,7 @@ void fastpack_expressed(
             const float v = data[k];
             counts_row[col] = v;
             const int64_t pos = k - lo;
-            gsub_row[pos] = gene_row[col];
+            gsub_row[pos] = static_cast<int32_t>(gene_row[col]);
             csub_row[pos] = v;
             lib += v;
         }

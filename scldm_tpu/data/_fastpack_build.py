@@ -36,9 +36,10 @@ def load():
     fn = lib.fastpack_expressed
     f32 = ndpointer(np.float32, flags="C_CONTIGUOUS")
     i64 = ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32 = ndpointer(np.int32, flags="C_CONTIGUOUS")
     fn.argtypes = [
         f32, i64, i64, i64,  # data, indices, indptr, gene_row
-        f32, i64, f32, f32,  # counts, genes_sub, counts_sub, library
+        f32, i32, f32, f32,  # counts, genes_sub(int32), counts_sub, library
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
     ]
     fn.restype = None

@@ -59,7 +59,7 @@ def expressed_batch_from_csr(
         positions = np.arange(len(data), dtype=np.int64) - np.repeat(
             indptr[:-1], nnz_per_row
         )
-        genes_sub = np.zeros((n, genes_seq_len), np.int64)  # mask token idx 0
+        genes_sub = np.zeros((n, genes_seq_len), np.int32)  # mask token idx 0
         counts_sub = np.zeros((n, genes_seq_len), np.float32)
         flat = row_rep * genes_seq_len + positions
         genes_sub.ravel()[flat] = gene_row[indices]
@@ -98,7 +98,7 @@ def _native():
         def call(data, indices, indptr, gene_row, g, seq_len):
             n = len(indptr) - 1
             counts = np.zeros((n, g), np.float32)
-            genes_sub = np.zeros((n, seq_len), np.int64)
+            genes_sub = np.zeros((n, seq_len), np.int32)
             counts_sub = np.zeros((n, seq_len), np.float32)
             library = np.zeros(n, np.float32)
             fn(

@@ -21,12 +21,31 @@ from scldm_tpu.training.checkpoint import CheckpointManager
 from scldm_tpu.utils.logger import logger
 
 
-def _stack_batches(batches):
-    import numpy as _np
+class _StackBuffers:
+    """Reusable host staging buffers for multi-step dispatch stacking.
 
-    return {
-        k: _np.stack([b[k] for b in batches]) for k in batches[0]
-    }
+    Fresh large numpy allocations are mmap-backed and page-fault on first
+    touch — pathological on some virtualized hosts (measured seconds per
+    ~40MB). Copying into persistent buffers touches the pages once, ever.
+    device_put copies synchronously, so reuse across dispatches is safe.
+    """
+
+    def __init__(self):
+        self._bufs: Dict[str, np.ndarray] = {}
+
+    def stack(self, batches):
+        out = {}
+        for k in batches[0]:
+            first = np.asarray(batches[0][k])
+            shape = (len(batches),) + first.shape
+            buf = self._bufs.get(k)
+            if buf is None or buf.shape != shape or buf.dtype != first.dtype:
+                buf = np.empty(shape, first.dtype)
+                self._bufs[k] = buf
+            for i, b in enumerate(batches):
+                np.copyto(buf[i], b[k])
+            out[k] = buf
+        return out
 
 
 class CSVLogger:
@@ -83,6 +102,8 @@ def fit(
 
     import jax.numpy as jnp
 
+    stackers = _StackBuffers()
+
     for epoch in range(start_epoch, epochs):
         if step >= max_steps:
             break
@@ -95,7 +116,7 @@ def fit(
                 pending.append(batch)
                 if len(pending) < steps_per_dispatch:
                     continue
-                stacked = _stack_batches(pending)
+                stacked = stackers.stack(pending)
                 dev = (
                     shard_stacked_batch(stacked, mesh)
                     if mesh is not None
