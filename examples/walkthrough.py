@@ -12,9 +12,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 from pathlib import Path
 
 import numpy as np
+
+# runnable from anywhere without installing the package
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def make_data(workdir: Path, n_cells=512, n_genes=64, n_clusters=4, seed=0):
