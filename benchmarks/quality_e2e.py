@@ -41,6 +41,22 @@ def make_synthetic_dataset(rng, n_cells: int, n_genes: int, n_clusters: int = 8)
     return counts, cluster_ids
 
 
+def make_perturbation_dataset(rng, n_cells: int, n_genes: int, n_types=4, n_perts=6):
+    """Parse1M/Replogle-style: additive (cell_type x perturbation) programs."""
+    type_ids = rng.integers(0, n_types, n_cells)
+    pert_ids = rng.integers(0, n_perts, n_cells)
+    base = rng.normal(-2.0, 1.0, size=(n_genes,))
+    type_prog = rng.normal(0.0, 1.4, (n_types, n_genes)) * (rng.random((n_types, n_genes)) < 0.1)
+    pert_prog = rng.normal(0.0, 1.2, (n_perts, n_genes)) * (rng.random((n_perts, n_genes)) < 0.05)
+    log_mu = base[None] + type_prog[type_ids] + pert_prog[pert_ids]
+    lib = np.exp(rng.normal(8.6, 0.25, size=(n_cells, 1)))
+    prob = np.exp(log_mu)
+    prob = prob / prob.sum(1, keepdims=True)
+    lam = rng.gamma(2.0, prob * lib / 2.0)
+    counts = rng.poisson(lam).astype(np.float32)
+    return counts, type_ids, pert_ids
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--genes", type=int, default=2000)

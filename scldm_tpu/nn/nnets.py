@@ -431,6 +431,25 @@ class DiT(nn.Module):
             return self._joint_embedding(condition, batch, force_drop_ids)
         return self._mutually_exclusive_embedding(condition, batch, force_drop_ids)
 
+    def embed_condition(
+        self,
+        t: jax.Array,
+        condition: Optional[Dict[str, jax.Array]] = None,
+        force_drop_ids: Optional[bool] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        """Timestep + class-condition embedding only (rows, n_embed) — used by
+        the fused-kernel training path, which runs the trunk outside the module
+        (ops.fused_dit.fused_dit_train_apply) while keeping the conditioning
+        rng semantics identical to __call__."""
+        if force_drop_ids is None:
+            force_drop_ids = train
+        t_embedding = self.t_embedder(t)[:, None, :]
+        cond_emb = self._get_condition_embedding(condition or {}, t.shape[0], force_drop_ids)
+        if cond_emb is not None:
+            t_embedding = t_embedding + cond_emb
+        return t_embedding[:, 0, :]
+
     # -- forward (nnets.py:273-297) -------------------------------------------
     def _trunk(self, x: jax.Array, t_embedding: jax.Array, train: bool) -> jax.Array:
         x = self.input_proj(x.astype(self.dtype))

@@ -34,27 +34,26 @@ def _ln(x: jax.Array, eps: float) -> jax.Array:
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
-def _block_kernel(
-    x_ref, c_ref,
-    wada_ref, bada_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-    w1_ref, w2_ref, wmlp_ref,
-    o_ref,
-    *, n_head: int, eps: float,
-):
-    R, T, E = x_ref.shape
-    x = x_ref[...].astype(jnp.float32)  # (R, T, E)
-    c = c_ref[...].astype(jnp.float32)  # (R, E)
+#: fused-kernel weight ordering (biases pre-reshaped to (1, dim))
+WEIGHT_NAMES = ("wada", "bada", "wqkv", "bqkv", "wproj", "bproj", "w1", "w2", "wmlp")
 
-    mod = jax.nn.silu(c) @ wada_ref[...].astype(jnp.float32) + bada_ref[...].astype(
-        jnp.float32
-    )
+
+def _block_math(x, c, weights, n_head: int, eps: float):
+    """Pure f32 math of one adaLN-zero Block — shared by the forward kernel and
+    the backward kernel (which differentiates it via in-kernel jax.vjp)."""
+    wada, bada, wqkv, bqkv, wproj, bproj, w1, w2, wmlp = [
+        w.astype(jnp.float32) for w in weights
+    ]
+    R, T, E = x.shape
+    x = x.astype(jnp.float32)
+    c = c.astype(jnp.float32)
+
+    mod = jax.nn.silu(c) @ wada + bada
     shift_a, scale_a, gate_a, shift_m, scale_m, gate_m = jnp.split(mod, 6, axis=-1)
 
     # -- attention branch ---------------------------------------------------
     h = _ln(x, eps) * (1.0 + scale_a[:, None, :]) + shift_a[:, None, :]
-    qkv = h.reshape(R * T, E) @ wqkv_ref[...].astype(jnp.float32) + bqkv_ref[
-        ...
-    ].astype(jnp.float32)
+    qkv = h.reshape(R * T, E) @ wqkv + bqkv
     hd = E // n_head
     scale = 1.0 / hd**0.5
     # Mosaic-friendly attention: only 2-D column slices, leading-dim reshapes,
@@ -72,21 +71,76 @@ def _block_kernel(
             jax.lax.dot_general(ph, vh, batched_pv, preferred_element_type=jnp.float32)
         )
     attn = jnp.concatenate([o.reshape(R * T, hd) for o in head_outs], axis=-1)
-    attn = attn.reshape(R, T, E)
-    attn = attn.reshape(R * T, E) @ wproj_ref[...].astype(jnp.float32) + bproj_ref[
-        ...
-    ].astype(jnp.float32)
+    attn = attn @ wproj + bproj
     x = x + gate_a[:, None, :] * attn.reshape(R, T, E)
 
     # -- MLP branch (SwiGLU, no biases) ---------------------------------------
     h2 = _ln(x, eps) * (1.0 + scale_m[:, None, :]) + shift_m[:, None, :]
     h2f = h2.reshape(R * T, E)
-    a = h2f @ w1_ref[...].astype(jnp.float32)
-    b = h2f @ w2_ref[...].astype(jnp.float32)
-    mlp = (jax.nn.silu(a) * b) @ wmlp_ref[...].astype(jnp.float32)
-    x = x + gate_m[:, None, :] * mlp.reshape(R, T, E)
+    a = h2f @ w1
+    b = h2f @ w2
+    mlp = (jax.nn.silu(a) * b) @ wmlp
+    return x + gate_m[:, None, :] * mlp.reshape(R, T, E)
 
-    o_ref[...] = x.astype(o_ref.dtype)
+
+def _block_kernel(
+    x_ref, c_ref,
+    wada_ref, bada_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    w1_ref, w2_ref, wmlp_ref,
+    o_ref,
+    *, n_head: int, eps: float,
+):
+    weights = [
+        r[...] for r in (
+            wada_ref, bada_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            w1_ref, w2_ref, wmlp_ref,
+        )
+    ]
+    out = _block_math(x_ref[...], c_ref[...], weights, n_head, eps)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _block_bwd_kernel(
+    x_ref, c_ref,
+    wada_ref, bada_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    w1_ref, w2_ref, wmlp_ref,
+    dy_ref,
+    dx_ref, dc_ref,
+    dwada_ref, dbada_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+    dw1_ref, dw2_ref, dwmlp_ref,
+    *, n_head: int, eps: float,
+):
+    """Backward of one block, entirely in VMEM: jax.vjp traces the shared
+    _block_math inside the kernel, so every residual stays on-chip. Weight
+    grads accumulate across the row-block grid (init on step 0)."""
+    weights = [
+        r[...].astype(jnp.float32) for r in (
+            wada_ref, bada_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            w1_ref, w2_ref, wmlp_ref,
+        )
+    ]
+
+    def f(x, c, *ws):
+        return _block_math(x, c, ws, n_head, eps)
+
+    _, vjp = jax.vjp(f, x_ref[...].astype(jnp.float32), c_ref[...].astype(jnp.float32), *weights)
+    grads = vjp(dy_ref[...].astype(jnp.float32))
+    dx_ref[...] = grads[0].astype(dx_ref.dtype)
+    dc_ref[...] = grads[1].astype(dc_ref.dtype)
+
+    first = pl.program_id(0) == 0
+    dw_refs = (
+        dwada_ref, dbada_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+        dw1_ref, dw2_ref, dwmlp_ref,
+    )
+    for ref, g in zip(dw_refs, grads[2:]):
+        @pl.when(first)
+        def _(ref=ref, g=g):
+            ref[...] = g.astype(ref.dtype)
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, g=g):
+            ref[...] = ref[...] + g.astype(ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "eps", "block_rows", "interpret"))
@@ -134,6 +188,74 @@ def fused_dit_block(
         interpret=interpret,
     )(x, c, *weights)
     return out[:R]
+
+
+def _bwd_pallas(x, c, params, dy, n_head, eps, block_rows, interpret):
+    R, T, E = x.shape
+    br = min(block_rows, R)
+    pad = (-R) % br
+    if pad:  # zero-padded rows contribute zero cotangents
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        c = jnp.pad(c, ((0, pad), (0, 0)))
+        dy = jnp.pad(dy, ((0, pad), (0, 0), (0, 0)))
+    Rp = x.shape[0]
+    weights = [
+        params["wada"], params["bada"].reshape(1, -1),
+        params["wqkv"], params["bqkv"].reshape(1, -1),
+        params["wproj"], params["bproj"].reshape(1, -1),
+        params["w1"], params["w2"], params["wmlp"],
+    ]
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    row3 = pl.BlockSpec((br, T, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    row2 = pl.BlockSpec((br, E), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((Rp, T, E), x.dtype),   # dx
+        jax.ShapeDtypeStruct((Rp, E), c.dtype),      # dc
+        *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_block_bwd_kernel, n_head=n_head, eps=eps),
+        out_shape=out_shapes,
+        grid=(Rp // br,),
+        in_specs=[row3, row2, *[full(w) for w in weights], row3],
+        out_specs=(row3, row2, *[full(w) for w in weights]),
+        interpret=interpret,
+    )(x, c, *weights, dy)
+    dx, dc, *dws = outs
+    dparams = {
+        name: (g.reshape(params[name].shape)).astype(params[name].dtype)
+        for name, g in zip(WEIGHT_NAMES, dws)
+    }
+    return dx[:R], dc[:R], dparams
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_dit_block_trainable(
+    x, c, params, n_head, eps=1e-8, block_rows=64, bwd_block_rows=16, interpret=False
+):
+    """Differentiable fused block: Pallas forward AND backward kernels
+    (gradients verified against jax.grad of the flax Block)."""
+    return fused_dit_block(
+        x, c, params, n_head, eps=eps, block_rows=block_rows, interpret=interpret
+    )
+
+
+def _trainable_fwd(x, c, params, n_head, eps, block_rows, bwd_block_rows, interpret):
+    out = fused_dit_block(
+        x, c, params, n_head, eps=eps, block_rows=block_rows, interpret=interpret
+    )
+    return out, (x, c, params)
+
+
+def _trainable_bwd(n_head, eps, block_rows, bwd_block_rows, interpret, res, dy):
+    x, c, params = res
+    dx, dc, dparams = _bwd_pallas(
+        x, c, params, dy, n_head, eps, bwd_block_rows, interpret
+    )
+    return dx, dc, dparams
+
+
+fused_dit_block_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
 def fused_dit_forward(
@@ -186,6 +308,51 @@ def fused_dit_forward(
     shift, scale = jnp.split(mod, 2, axis=-1)
     hf = _ln(h.astype(jnp.float32), eps) * (1.0 + scale[:, None, :]) + shift[:, None, :]
     return dense(fl["linear"], hf).astype(jnp.float32)
+
+
+def fused_dit_train_apply(
+    params: Dict,
+    x: jax.Array,  # (R, T, E_in)
+    t_embedding: jax.Array,  # (R, E) from DiT.embed_condition (rng-correct)
+    *,
+    n_layer: int,
+    n_head: int,
+    n_embed: int,
+    seq_len: int,
+    eps: float = 1e-8,
+    block_rows: int = 64,
+    bwd_block_rows: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable DiT trunk with every block as a fused Pallas kernel
+    (forward + backward). Input proj / positional table / final layer are plain
+    jnp on the raw param tree so autodiff composes with the blocks' custom VJP.
+    """
+    from scldm_tpu.nn.layers import get_1d_sincos_pos_embed
+
+    p = params["params"] if "params" in params else params
+
+    def dense(tree, h):
+        out = h @ tree["kernel"].astype(jnp.float32)
+        if "bias" in tree:
+            out = out + tree["bias"].astype(jnp.float32)
+        return out
+
+    h = dense(p["input_proj"], x.astype(jnp.float32))
+    h = h + jnp.asarray(get_1d_sincos_pos_embed(n_embed, seq_len))[None]
+    c = t_embedding.astype(jnp.float32)
+
+    for i in range(n_layer):
+        kp = extract_block_params(p[f"block_{i}"])
+        h = fused_dit_block_trainable(
+            h, c, kp, n_head, eps, block_rows, bwd_block_rows, interpret
+        )
+
+    fl = p["final_layer"]
+    mod = dense(fl["adaln_modulation"], jax.nn.silu(c))
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    hf = _ln(h, eps) * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    return dense(fl["linear"], hf)
 
 
 def extract_block_params(block_tree: Dict) -> Dict[str, jax.Array]:

@@ -64,9 +64,17 @@ def ema_update(
     should_update = (step % update_every) == 0
     decay = current_decay(step, beta, update_after_step, inv_gamma, power, min_value)
 
-    def blend(e, p):
-        new = e * decay + p.astype(e.dtype) * (1.0 - decay)
-        return jnp.where(should_update, new, e)
+    # lax.cond (not where): the identity branch skips the blend entirely, so
+    # the (update_every - 1)/update_every skipped steps cost nothing
+    def do_blend(operand):
+        ema_params, online = operand
+        return jax.tree_util.tree_map(
+            lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+            ema_params,
+            online,
+        )
 
-    new_params = jax.tree_util.tree_map(blend, state.params, online_params)
+    new_params = jax.lax.cond(
+        should_update, do_blend, lambda op: op[0], (state.params, online_params)
+    )
     return EMAState(params=new_params, step=step)

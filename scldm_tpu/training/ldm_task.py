@@ -67,9 +67,13 @@ class LDMTask:
         ema_update_after_step: int = 10_000,
         train_vae: bool = False,
         calculate_grad_norms: bool = False,
+        fused_training: Optional[bool] = None,  # None = auto (TPU & no dropout)
         mesh: Optional[Mesh] = None,
     ):
         self.calculate_grad_norms = calculate_grad_norms
+        if fused_training is None:
+            fused_training = jax.default_backend() == "tpu" and dit.dropout == 0.0
+        self.fused_training = fused_training
         assert not train_vae, "joint VAE finetuning not implemented (frozen-tokenizer parity)"
         self.vae = vae
         self.vae_params = vae_params
@@ -92,14 +96,12 @@ class LDMTask:
             decay_type=decay_type,
         )
         # LDM uses stock AdamW (ldm_base.yaml:36-39) — optax.adamw matches
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(grad_clip),
-            optax.adamw(
-                learning_rate=lambda c: learning_rate * self.schedule(c),
-                b1=betas[0],
-                b2=betas[1],
-                weight_decay=weight_decay,
-            ),
+        self.grad_clip = grad_clip
+        self.tx = optax.adamw(
+            learning_rate=lambda c: learning_rate * self.schedule(c),
+            b1=betas[0],
+            b2=betas[1],
+            weight_decay=weight_decay,
         )
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
@@ -158,6 +160,21 @@ class LDMTask:
 
         def loss_fn(params):
             def model_fn(xt, t, condition):
+                if self.fused_training:
+                    # conditioning (rng-exact) via the module, trunk via the
+                    # fused Pallas forward+backward kernels
+                    from scldm_tpu.ops.fused_dit import fused_dit_train_apply
+
+                    t_emb = self.dit.apply(
+                        params, t, condition, train=True,
+                        method="embed_condition", rngs={"condition": rng_c},
+                    )
+                    return fused_dit_train_apply(
+                        params, xt, t_emb,
+                        n_layer=self.dit.n_layer, n_head=self.dit.n_head,
+                        n_embed=self.dit.n_embed, seq_len=self.dit.seq_len,
+                        eps=self.dit.layernorm_eps,
+                    )
                 return self.dit.apply(
                     params,
                     xt,
@@ -173,12 +190,15 @@ class LDMTask:
             return terms["loss"].mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, self.grad_clip / (gnorm + 1e-12))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = ema_update(state.ema, params["params"], **self.ema_cfg)
         mets = {
             "train_loss": loss,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": gnorm,
             "lr_mult": self.schedule(state.step),
         }
         if self.calculate_grad_norms:

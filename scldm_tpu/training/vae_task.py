@@ -81,14 +81,12 @@ class VAETask:
             decay_type=decay_type,
         )
         self.schedule = schedule
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(grad_clip),
-            adamw_legacy(
-                learning_rate=lambda c: learning_rate * schedule(c),
-                betas=betas,
-                weight_decay=weight_decay,
-                caution=caution,
-            ),
+        self.grad_clip = grad_clip
+        self.tx = adamw_legacy(
+            learning_rate=lambda c: learning_rate * schedule(c),
+            betas=betas,
+            weight_decay=weight_decay,
+            caution=caution,
         )
 
         # batch arrives device_put with P("data") (see parallel.shard_batch);
@@ -174,12 +172,16 @@ class VAETask:
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        # one global-norm pass shared by the clip and the metric
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, self.grad_clip / (gnorm + 1e-12))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         mets = {
             "train_loss": loss,
             "train_llh": aux["llh"],
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": gnorm,
             "lr_mult": self.schedule(state.step),
         }
         if "theta" in aux:

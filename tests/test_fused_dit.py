@@ -98,3 +98,103 @@ def test_fused_dit_forward_matches_module():
     )
     got = combine_cfg_segments(out, scale_segments, b, h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4)
+
+
+def test_trainable_fused_block_gradients(block_setup):
+    """Pallas backward kernel gradients == jax.grad of the flax Block."""
+    from scldm_tpu.ops.fused_dit import fused_dit_block_trainable
+
+    block, params, x, c = block_setup
+    kp = extract_block_params(params["params"])
+    c2 = c[:, 0, :]
+
+    w = jax.random.normal(jax.random.PRNGKey(9), (R, T, E))
+
+    def loss_fused(x, c2, kp):
+        out = fused_dit_block_trainable(x, c2, kp, H, 1e-8, 64, 8, True)
+        return (out * w).sum()
+
+    def loss_flax(x, c, params):
+        out = block.apply(params, x, condition=c)
+        return (out * w).sum()
+
+    gx, gc, gp = jax.grad(loss_fused, argnums=(0, 1, 2))(x, c2, kp)
+    gx_ref, gc_ref, gp_ref = jax.grad(loss_flax, argnums=(0, 1, 2))(x, c, params)
+
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(gc), np.asarray(gc_ref[:, 0, :]), rtol=1e-3, atol=1e-3
+    )
+    ref_flat = gp_ref["params"]
+    pairs = {
+        "wada": ref_flat["adaln_modulation"]["kernel"],
+        "bada": ref_flat["adaln_modulation"]["bias"],
+        "wqkv": ref_flat["attn"]["c_attn"]["kernel"],
+        "bqkv": ref_flat["attn"]["c_attn"]["bias"],
+        "wproj": ref_flat["attn"]["c_proj"]["kernel"],
+        "bproj": ref_flat["attn"]["c_proj"]["bias"],
+        "w1": ref_flat["mlp"]["w1"]["kernel"],
+        "w2": ref_flat["mlp"]["w2"]["kernel"],
+        "wmlp": ref_flat["mlp"]["c_proj"]["kernel"],
+    }
+    for name, want in pairs.items():
+        np.testing.assert_allclose(
+            np.asarray(gp[name]), np.asarray(want), rtol=2e-3, atol=2e-3,
+            err_msg=name,
+        )
+
+
+def test_fused_training_loss_and_grads_match_flax():
+    """LDM train step with fused_training=True reproduces the flax path's loss
+    and gradients (same rngs)."""
+    from scldm_tpu.nn import DiT
+    from scldm_tpu.nn.vae import build_transformer_vae
+    from scldm_tpu.training.ldm_task import LDMTask
+    from scldm_tpu.transport import create_transport
+    from tests.test_training import make_batch
+
+    vae = build_transformer_vae(
+        n_genes=40, n_embed=16, n_embed_latent=8, n_layer=1,
+        n_inducing_points=4, n_head=2, n_head_cross=2,
+    )
+    batch = make_batch(jax.random.PRNGKey(0), n_genes=40)
+    vae_params = vae.init(
+        jax.random.PRNGKey(0), batch["counts"], batch["genes"],
+        batch["library_size"], batch["counts_subset"], batch["genes_subset"],
+    )
+    dit = DiT(n_embed=32, n_embed_input=8, n_layer=2, n_head=2, seq_len=4,
+              class_vocab_sizes={"clusters": 3}, cfg_dropout_prob=0.8)
+
+    def task(fused):
+        t = LDMTask(vae, vae_params, dit, create_transport(), num_training_steps=10,
+                    fused_training=fused)
+        if fused:
+            # force interpret-mode kernels on CPU for the test
+            import scldm_tpu.ops.fused_dit as fd
+            orig = fd.fused_dit_train_apply
+            t._orig = orig
+        return t
+
+    t_flax = LDMTask(vae, vae_params, dit, create_transport(), num_training_steps=10,
+                     fused_training=False)
+    t_fused = LDMTask(vae, vae_params, dit, create_transport(), num_training_steps=10,
+                      fused_training=True)
+
+    import scldm_tpu.ops.fused_dit as fd
+    import functools as ft
+    real = fd.fused_dit_train_apply
+    fd_interp = ft.partial(real, interpret=True)
+    fd.fused_dit_train_apply = fd_interp
+    try:
+        s1 = t_flax.init_state(jax.random.PRNGKey(3), batch)
+        s2 = t_fused.init_state(jax.random.PRNGKey(3), batch)
+        s1b, m1 = t_flax.train_step(s1, batch)
+        s2b, m2 = t_fused.train_step(s2, batch)
+    finally:
+        fd.fused_dit_train_apply = real
+
+    assert float(m1["train_loss"]) == pytest.approx(float(m2["train_loss"]), rel=1e-4)
+    assert float(m1["grad_norm"]) == pytest.approx(float(m2["grad_norm"]), rel=1e-3)
+    la = jax.tree_util.tree_leaves(s1b.params)[0]
+    lb = jax.tree_util.tree_leaves(s2b.params)[0]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5)
