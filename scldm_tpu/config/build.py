@@ -227,6 +227,7 @@ def build_ldm_task(
         ema_decay=float(ema.get("decay", 0.9999)),
         ema_update_every=int(ema.get("update_every", 10)),
         ema_update_after_step=int(ema.get("update_after_step", 10_000)),
+        train_vae=bool((cfg["model"].get("vae_as_tokenizer") or {}).get("train", False)),
         calculate_grad_norms=tr.get("calculate_grad_norms", False),
         mesh=mesh,
     )

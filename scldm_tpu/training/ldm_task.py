@@ -73,8 +73,11 @@ class LDMTask:
         self.calculate_grad_norms = calculate_grad_norms
         if fused_training is None:
             fused_training = jax.default_backend() == "tpu" and dit.dropout == 0.0
-        self.fused_training = fused_training
-        assert not train_vae, "joint VAE finetuning not implemented (frozen-tokenizer parity)"
+        self.fused_training = fused_training and not train_vae
+        # vae_as_tokenizer.train=true (reference models.py:431-435): the VAE is
+        # finetuned jointly — its params ride in the train state and gradients
+        # flow through encode
+        self.train_vae = train_vae
         self.vae = vae
         self.vae_params = vae_params
         self.dit = dit
@@ -124,12 +127,16 @@ class LDMTask:
         params = jax.jit(self.dit.init, static_argnames=("train",))(
             {"params": rng, "condition": rng}, x, t, condition, train=True
         )
+        if self.train_vae:
+            # joint finetuning: both trees optimized together
+            params = {"dit": params, "vae": self.vae_params}
         if self.mesh is not None:
             from scldm_tpu.parallel.sharding_rules import shard_params
 
             params = shard_params(params, self.mesh)
             self.vae_params = shard_params(self.vae_params, self.mesh)
-        state = create_train_state(rng, params, self.tx, ema=ema_init(params["params"]))
+        ema_tree = params["dit"]["params"] if self.train_vae else params["params"]
+        state = create_train_state(rng, params, self.tx, ema=ema_init(ema_tree))
         if self.mesh is not None:
             state = state.replace(
                 rng=jax.device_put(state.rng, NamedSharding(self.mesh, P())),
@@ -138,27 +145,38 @@ class LDMTask:
         return state
 
     # -- internals -----------------------------------------------------------------
-    def _encode(self, batch: Dict) -> jax.Array:
+    def _encode_with(self, vae_params, batch: Dict) -> jax.Array:
         # the encoder only reads the expressed subsets, so lean batches
         # (no dense counts transferred) encode directly
         counts = batch.get(COUNTS, batch.get(C_SUB))
         genes = batch.get(GENES, batch.get(G_SUB))
-        z = self.vae.apply(
-            self.vae_params,
+        return self.vae.apply(
+            vae_params,
             counts=counts,
             genes=genes,
             counts_subset=batch.get(C_SUB),
             genes_subset=batch.get(G_SUB),
             method="encode",
         )
-        return jax.lax.stop_gradient(z)
+
+    def _encode(self, batch: Dict) -> jax.Array:
+        return jax.lax.stop_gradient(self._encode_with(self.vae_params, batch))
+
+    def _split_trees(self, params):
+        """(dit_params, vae_params) for either parameter layout."""
+        if self.train_vae:
+            return params["dit"], params["vae"]
+        return params, self.vae_params
 
     def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         rng, rng_t, rng_c, rng_d = jax.random.split(state.rng, 4)
-        z = self._encode(batch)
+        z = None if self.train_vae else self._encode(batch)
         condition = split_condition(batch, self.dit.class_vocab_sizes or {})
 
         def loss_fn(params):
+            dit_params, vae_params = self._split_trees(params)
+            zz = self._encode_with(vae_params, batch) if self.train_vae else z
+
             def model_fn(xt, t, condition):
                 if self.fused_training:
                     # conditioning (rng-exact) via the module, trunk via the
@@ -166,17 +184,17 @@ class LDMTask:
                     from scldm_tpu.ops.fused_dit import fused_dit_train_apply
 
                     t_emb = self.dit.apply(
-                        params, t, condition, train=True,
+                        dit_params, t, condition, train=True,
                         method="embed_condition", rngs={"condition": rng_c},
                     )
                     return fused_dit_train_apply(
-                        params, xt, t_emb,
+                        dit_params, xt, t_emb,
                         n_layer=self.dit.n_layer, n_head=self.dit.n_head,
                         n_embed=self.dit.n_embed, seq_len=self.dit.seq_len,
                         eps=self.dit.layernorm_eps,
                     )
                 return self.dit.apply(
-                    params,
+                    dit_params,
                     xt,
                     t,
                     condition,
@@ -185,7 +203,7 @@ class LDMTask:
                 )
 
             terms = self.transport.training_losses(
-                model_fn, rng_t, z, {"condition": condition}
+                model_fn, rng_t, zz, {"condition": condition}
             )
             return terms["loss"].mean()
 
@@ -195,7 +213,8 @@ class LDMTask:
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema = ema_update(state.ema, params["params"], **self.ema_cfg)
+        dit_tree = params["dit"]["params"] if self.train_vae else params["params"]
+        ema = ema_update(state.ema, dit_tree, **self.ema_cfg)
         mets = {
             "train_loss": loss,
             "grad_norm": gnorm,
@@ -224,9 +243,10 @@ class LDMTask:
         self, params, ema_params, batch: Dict, rng: jax.Array, use_ema: bool = False
     ) -> Dict:
         rng_t, rng_c = jax.random.split(rng)
-        z = self._encode(batch)
+        dit_params, vae_params = self._split_trees(params)
+        z = jax.lax.stop_gradient(self._encode_with(vae_params, batch))
         condition = split_condition(batch, self.dit.class_vocab_sizes or {})
-        p = {"params": ema_params} if use_ema else params
+        p = {"params": ema_params} if use_ema else dit_params
 
         def model_fn(xt, t, condition):
             return self.dit.apply(
@@ -271,7 +291,7 @@ class LDMTask:
         seq_len = self.dit.seq_len
 
         @jax.jit
-        def sample_fn(dit_params, rng, genes, condition):
+        def sample_fn(dit_params, vae_params, rng, genes, condition):
             batch_size = genes.shape[0]
             k_sf, k_z, k_nb = jax.random.split(rng, 3)
             log_sf = size_factor_sampler.sample(k_sf, condition, batch_size)
@@ -323,21 +343,17 @@ class LDMTask:
             genes_cfg = jnp.concatenate([genes, genes], axis=0)
             sf = jnp.exp(log_sf).reshape(-1, 1)
             sf_cfg = jnp.concatenate([sf, sf], axis=0)
-            out = self.vae.apply(
-                self.vae_params, samples, genes_cfg, sf_cfg, method="decode"
-            )
+            out = self.vae.apply(vae_params, samples, genes_cfg, sf_cfg, method="decode")
             counts = nb_sample(k_nb, out["mu"], out["theta"])
             return counts, samples
 
         def wrapped(state_or_params, rng, genes, condition=None):
             if isinstance(state_or_params, TrainState):
-                p = (
-                    {"params": state_or_params.ema.params}
-                    if use_ema
-                    else state_or_params.params
-                )
+                dit_p, vae_p = self._split_trees(state_or_params.params)
+                if use_ema:
+                    dit_p = {"params": state_or_params.ema.params}
             else:
-                p = state_or_params
-            return sample_fn(p, rng, genes, condition or {})
+                dit_p, vae_p = self._split_trees(state_or_params)
+            return sample_fn(dit_p, vae_p, rng, genes, condition or {})
 
         return wrapped

@@ -395,3 +395,54 @@ def test_lean_batch_densify_parity():
     _, m_full = task.train_step(s1, dict(full))
     _, m_lean = task.train_step(s2, dict(lean))
     assert float(m_full["train_loss"]) == pytest.approx(float(m_lean["train_loss"]), rel=1e-6)
+
+
+def test_ldm_train_vae_finetuning():
+    """vae_as_tokenizer.train=true: gradients flow into the VAE params
+    (reference models.py:431-435 joint finetuning)."""
+    vae = build_transformer_vae(
+        n_genes=N_GENES, n_embed=16, n_embed_latent=8, n_layer=1,
+        n_inducing_points=4, n_head=2, n_head_cross=2,
+    )
+    batch = make_batch(jax.random.PRNGKey(0))
+    vae_params = vae.init(
+        jax.random.PRNGKey(0), batch["counts"], batch["genes"],
+        batch["library_size"], batch["counts_subset"], batch["genes_subset"],
+    )
+    dit = DiT(n_embed=32, n_embed_input=8, n_layer=1, n_head=2, seq_len=4,
+              class_vocab_sizes={"clusters": 3}, cfg_dropout_prob=0.8)
+    task = LDMTask(vae, vae_params, dit, create_transport(),
+                   num_training_steps=50, train_vae=True,
+                   ema_update_after_step=0, ema_update_every=1)
+    state = task.init_state(jax.random.PRNGKey(1), batch)
+    assert "vae" in state.params and "dit" in state.params
+    # the LDM loss only reaches the VAE through encode: encoder params move,
+    # decoder/head params stay untouched
+    enc_before = np.asarray(
+        jax.tree_util.tree_leaves(state.params["vae"]["params"]["encoder"])[0]
+    ).copy()
+    dec_before = np.asarray(
+        jax.tree_util.tree_leaves(state.params["vae"]["params"]["decoder"])[0]
+    ).copy()
+    for _ in range(3):
+        state, m = task.train_step(state, batch)
+    enc_after = np.asarray(
+        jax.tree_util.tree_leaves(state.params["vae"]["params"]["encoder"])[0]
+    )
+    dec_after = np.asarray(
+        jax.tree_util.tree_leaves(state.params["vae"]["params"]["decoder"])[0]
+    )
+    assert not np.allclose(enc_before, enc_after), "VAE encoder params did not move"
+    np.testing.assert_array_equal(dec_before, dec_after)
+    assert np.isfinite(float(m["train_loss"]))
+    # eval + sampling use the finetuned trees
+    mets = task.eval_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(mets["val_loss"]))
+    sfs = SizeFactorSampler.__new__(SizeFactorSampler)
+    sfs.strategy = "mutually_exclusive"; sfs.tables = {}
+    sfs.joint_table = None; sfs.joint_components = None
+    fn = task.make_sample_fn(sfs, guidance_weight={"clusters": 1.0},
+                             sampling_method="euler", num_steps=3)
+    counts, z = fn(state, jax.random.PRNGKey(3), batch["genes"],
+                   {"clusters": batch["clusters"]})
+    assert counts.shape == (2 * B, N_GENES)
