@@ -189,3 +189,35 @@ def test_sampler_ode_recovers_shifted_gaussian():
     out = np.asarray(sample_fn(init, true_velocity))
     assert out.mean() == pytest.approx(m, abs=0.1)
     assert out.var() == pytest.approx(1.0, rel=0.15)
+
+
+@pytest.mark.parametrize("prediction", ["noise", "score"])
+def test_nonvelocity_predictions(prediction):
+    """Noise/score parameterizations: eps intervals, weighted losses, and
+    drift conversion all run and produce finite values."""
+    transport = create_transport(prediction=prediction, loss_weight="likelihood")
+    assert transport.train_eps == 1e-3  # per-path defaults (factory parity)
+    t0, t1 = transport.check_interval(transport.train_eps, transport.sample_eps)
+    assert t0 > 0 and t1 < 1
+    key = jax.random.PRNGKey(0)
+    x1 = jax.random.normal(key, (8, 4))
+    out = transport.training_losses(lambda xt, t: jnp.zeros_like(xt), key, x1)
+    assert np.isfinite(float(out["loss"].mean()))
+    # drift conversion wraps the model output into a PF-ODE drift
+    drift = transport.get_drift()
+    d = drift(x1, jnp.full((8,), 0.5), lambda x, t: jnp.ones_like(x))
+    assert d.shape == x1.shape and np.isfinite(np.asarray(d)).all()
+    score = transport.get_score()
+    s = score(x1, jnp.full((8,), 0.5), lambda x, t: jnp.ones_like(x))
+    assert np.isfinite(np.asarray(s)).all()
+
+
+def test_velocity_loss_weight_noop():
+    """Reference quirk #3: loss_weight='velocity' is a no-op for velocity
+    prediction (weights only apply to noise/score parameterizations)."""
+    key = jax.random.PRNGKey(0)
+    x1 = jax.random.normal(key, (16, 4))
+    model = lambda xt, t: jnp.zeros_like(xt)
+    a = create_transport(loss_weight="velocity").training_losses(model, key, x1)
+    b = create_transport(loss_weight=None).training_losses(model, key, x1)
+    np.testing.assert_array_equal(np.asarray(a["loss"]), np.asarray(b["loss"]))
