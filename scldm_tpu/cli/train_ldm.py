@@ -87,6 +87,9 @@ def load_vae_from_checkpoint(cfg: dict, example_batch: dict):
         args=__import__("orbax.checkpoint", fromlist=["args"]).args.StandardRestore(None),
     )
     params = restored["params"] if "params" in restored else restored
+    # normalize device placement: the checkpoint carries the sharding it was
+    # saved with (e.g. an 8-device mesh), which may not match this run's
+    params = jax.tree_util.tree_map(lambda a: jax.device_put(np.asarray(a)), params)
     vae_mgr.close()
     logger.info(f"loaded frozen VAE from {vae_dir} @ step {step}")
     # shape-check against a fresh init
