@@ -286,11 +286,48 @@ class DataModule:
                 ).astype(np.int64)
         return self._label_cache[key]
 
+    def _inference_keep_cols(self, path: str, f: H5ADFile) -> Optional[np.ndarray]:
+        """Column filter for external inference AnnData: keep only genes present
+        in the vocabulary (reference datamodule.py:116-128 `adata_inference`
+        setter filtering; the census flow maps symbols->Ensembl first)."""
+        key = ("__inference_cols__", path)
+        if key not in self._label_cache:
+            known = self.vocabulary_encoder._gene_token2idx
+            mask_idx = self.vocabulary_encoder.mask_token_idx
+            cols = np.asarray(
+                [i for i, v in enumerate(f.var_names)
+                 if known.get(str(v), mask_idx) != mask_idx],
+                dtype=np.int64,
+            )
+            self._label_cache[key] = cols
+        cols = self._label_cache[key]
+        return cols if len(cols) < f.n_vars else None
+
     def _make_batch(
         self, spec: Tuple[str, int, int], seed: Optional[int], lean: bool = False
     ) -> Dict[str, np.ndarray]:
         path, lo, hi = spec
         f = self._pool.get(path)
+
+        if path == self._adata_inference:
+            keep = self._inference_keep_cols(path, f)
+            if keep is not None:
+                X = f.rows(slice(lo, hi), self.adata_attr, self.adata_key)[:, keep]
+                var_names = np.asarray(f.var_names)[keep]
+                batch = tokenize_cells(
+                    X, var_names, self.vocabulary_encoder,
+                    genes_seq_len=min(self.genes_seq_len, len(keep)),
+                    sample_genes=self.sample_genes, seed=seed,
+                )
+                batch[ModelEnum.COUNTS.value] = batch[ModelEnum.COUNTS.value].astype(np.float32)
+                batch[ModelEnum.LIBRARY_SIZE.value] = batch[
+                    ModelEnum.LIBRARY_SIZE.value
+                ].astype(np.float32)
+                if ModelEnum.COUNTS_SUBSET.value in batch:
+                    batch[ModelEnum.COUNTS_SUBSET.value] = batch[
+                        ModelEnum.COUNTS_SUBSET.value
+                    ].astype(np.float32)
+                return batch
 
         if self.sample_genes == "expressed" and f.is_csr(self.adata_attr, self.adata_key):
             # vectorized single-read CSR fast path (data/fastpath.py)

@@ -336,3 +336,32 @@ def test_train_val_split_list_semantics():
     assert len(tr) + len(va) == 20
     assert all(i >= 10 for i in range(10, 20) if i in tr)  # 2nd half always train
     assert all(v < 10 for v in va)  # val only from first half
+
+
+def test_adata_inference_gene_filtering(tmp_path, rng):
+    """External inference AnnData with extra unknown genes gets filtered to the
+    vocabulary (reference datamodule.py:116-128)."""
+    # vocab covers g0..g19; external file has g0..g19 plus 10 unknown genes
+    payload = {"genes": [f"g{i}" for i in range(20)], "labels": {"clusters": ["a", "b"]}}
+    (tmp_path / "meta.json").write_text(json.dumps(payload))
+    enc = VocabularyEncoder(class_vocab_sizes={"clusters": 2},
+                            metadata_json=str(tmp_path / "meta.json"))
+
+    ext_vars = [f"g{i}" for i in range(20)] + [f"unknown_{i}" for i in range(10)]
+    X = rng.poisson(2.0, size=(16, 30)).astype(np.float32) + 1
+    write_h5ad(tmp_path / "ext.h5ad", X, var_names=ext_vars,
+               obs={"clusters": rng.choice(["a", "b"], 16)})
+
+    dm = DataModule(
+        vocabulary_encoder=enc, train_adata_path=None, allow_missing_train=True,
+        batch_size=8, test_batch_size=8, genes_seq_len=20,
+        sample_genes="expressed", prefetch=0,
+    )
+    dm.adata_inference = str(tmp_path / "ext.h5ad")
+    dm.setup("predict")
+    batch = next(iter(dm.predict_batches()))
+    assert batch["counts"].shape == (8, 20)  # unknown columns dropped
+    assert batch["genes"].shape == (8, 20)
+    assert (batch["genes"] >= 1).all() and (batch["genes"] <= 20).all()
+    # library size computed over the KEPT genes only
+    np.testing.assert_allclose(batch["library_size"][:, 0], batch["counts"].sum(1))
