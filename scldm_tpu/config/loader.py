@@ -115,6 +115,11 @@ def _resolve_expr(expr: str, root: Dict, depth: int) -> Any:
         body = expr[len("eval:") :].strip().strip("'\"")
         body = _resolve_value(body, root, depth + 1)
         return eval(body, {"__builtins__": {}}, {})  # arithmetic only
+    if expr == "repo_root:":
+        # the directory that ships configs/ + metadata/ (reference uses
+        # ${hydra:runtime.cwd}, paths/base.yaml:3 — cwd-fragile; this resolver
+        # finds the vendored metadata regardless of where the CLI is launched)
+        return str(Path(__file__).resolve().parents[2])
     target = _lookup(root, expr)
     return _resolve_value(target, root, depth + 1)
 
