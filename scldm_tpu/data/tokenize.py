@@ -1,20 +1,32 @@
-"""Per-batch numpy tokenization of count matrices into gene-token sequences.
+"""Host-side tokenization of count matrices into gene-token sequences.
 
-Parity with reference src/scldm/datamodule.py:652-805 (tokenize_cells): every
-sampling strategy, shape contract, and error path. Runs on host (numpy) inside
-the input pipeline; the fixed `genes_seq_len` of the "expressed" strategy is
-exactly what gives XLA static shapes downstream.
+Behavioral parity with reference src/scldm/datamodule.py:652-805
+(tokenize_cells): same strategy names, output-shape contracts, and error
+paths — but implemented as a registry of fully vectorized strategies with no
+per-row Python loops. Sampling without replacement is done with key-sorting
+tricks instead of sequential draws:
+
+- uniform subsets / permutations: argsort of an iid uniform key matrix;
+- weighted sampling (``weighted``): the exponential-race construction
+  (keys Exp(1)/p_i; the k smallest keys are a without-replacement sample
+  ordered exactly like sequential draws from p);
+- ``random_expressed``: uniform keys on expressed genes, +inf elsewhere, so
+  one argsort yields the sample AND the padding positions;
+- ``expressed`` packing: one flat scatter over the nonzeros (same scheme as
+  the CSR fast path in data/fastpath.py, here from a dense block).
+
+The fixed ``genes_seq_len`` output is what gives XLA static shapes downstream.
 
 Output dict keys (ModelEnum values):
-- genes / counts: full-length gene-id matrix and counts (decoder + loss inputs)
-- genes_subset / counts_subset: fixed-length packed expressed tokens (encoder
-  inputs) for strategies that produce them
+- genes / counts: full-length gene-id matrix and counts (decoder + loss)
+- genes_subset / counts_subset: fixed-length packed expressed tokens
+  (encoder inputs) for strategies that produce them
 - library_size: per-cell total counts (before any subsetting)
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import numpy as np
 
@@ -25,6 +37,145 @@ COUNTS = ModelEnum.COUNTS.value
 GENES_SUBSET = ModelEnum.GENES_SUBSET.value
 COUNTS_SUBSET = ModelEnum.COUNTS_SUBSET.value
 LIBRARY_SIZE = ModelEnum.LIBRARY_SIZE.value
+
+# each strategy: (ctx) -> output dict; registered at definition site
+_STRATEGIES: Dict[str, Callable] = {}
+
+
+def _strategy(name: str):
+    def register(fn):
+        _STRATEGIES[name] = fn
+        return fn
+
+    return register
+
+
+class _Ctx:
+    """Shared per-call state so strategies stay small pure-ish functions."""
+
+    __slots__ = ("counts", "gene_row", "seq_len", "rng", "encoder", "gk", "ck")
+
+    def __init__(self, counts, gene_row, seq_len, rng, encoder, gk, ck):
+        self.counts = counts
+        self.gene_row = gene_row  # (G,) encoded token ids for var_names
+        self.seq_len = seq_len
+        self.rng = rng
+        self.encoder = encoder
+        self.gk = gk  # output key for gene tokens
+        self.ck = ck  # output key for counts
+
+    @property
+    def shape(self):
+        return self.counts.shape
+
+    def gene_matrix(self) -> np.ndarray:
+        """(N, G) token-id view — broadcast, never materialized per row."""
+        n = self.counts.shape[0]
+        return np.broadcast_to(self.gene_row, (n, len(self.gene_row)))
+
+    def library(self) -> np.ndarray:
+        return self.counts.sum(1, keepdims=True)
+
+    def gather(self, idx: np.ndarray):
+        """Select (gene_tokens, counts) at per-row column indices idx."""
+        rows = np.arange(idx.shape[0])[:, None]
+        return self.gene_row[idx], self.counts[rows, idx]
+
+
+def _uniform_keys(ctx: _Ctx) -> np.ndarray:
+    n, g = ctx.shape
+    return ctx.rng.random((n, g))
+
+
+@_strategy("none")
+def _none(ctx: _Ctx) -> dict:
+    return {ctx.gk: ctx.gene_matrix(), ctx.ck: ctx.counts, LIBRARY_SIZE: ctx.library()}
+
+
+@_strategy("random")
+def _random(ctx: _Ctx) -> dict:
+    # a uniform without-replacement subset in uniform order == the first
+    # seq_len columns of a random permutation == argsort of iid uniform keys
+    idx = np.argsort(_uniform_keys(ctx), axis=1)[:, : ctx.seq_len]
+    genes, counts = ctx.gather(idx)
+    return {ctx.gk: genes, ctx.ck: counts, LIBRARY_SIZE: ctx.library()}
+
+
+@_strategy("weighted")
+def _weighted(ctx: _Ctx) -> dict:
+    means = getattr(ctx.encoder, "gene_means", None)
+    if means is None:
+        raise ValueError("encoder.metadata_genes must be set for weighted sampling")
+    # inverse-mean scaling (reference datamodule.py:695-700), then the
+    # exponential race: gene i "rings" at Exp(1)/p_i; taking ring order gives
+    # a without-replacement sample distributed like sequential draws from p
+    p = (ctx.counts + 1) / means
+    keys = ctx.rng.exponential(size=ctx.shape) / p  # p need not be normalized
+    idx = np.argsort(keys, axis=1)[:, : ctx.seq_len]
+    genes, counts = ctx.gather(idx)
+    return {ctx.gk: genes, ctx.ck: counts, LIBRARY_SIZE: ctx.library()}
+
+
+@_strategy("expressed")
+def _expressed(ctx: _Ctx) -> dict:
+    # left-pack nonzero genes into a fixed buffer via one flat scatter
+    # (dense-input analog of fastpath.expressed_batch_from_csr)
+    n, _ = ctx.shape
+    mask_idx = ctx.encoder.mask_token_idx
+    rows, cols = np.nonzero(ctx.counts)
+    nnz = np.bincount(rows, minlength=n)
+    if nnz.max(initial=0) > ctx.seq_len:
+        raise ValueError("genes_seq_len is smaller than number of expressed genes")
+    # slot of each nonzero within its row = global rank − row start
+    starts = np.concatenate(([0], np.cumsum(nnz)[:-1]))
+    slots = np.arange(len(rows)) - starts[rows]
+
+    genes_sub = np.full((n, ctx.seq_len), mask_idx, dtype=ctx.gene_row.dtype)
+    counts_sub = np.zeros((n, ctx.seq_len), dtype=ctx.counts.dtype)
+    flat = rows * ctx.seq_len + slots
+    genes_sub.ravel()[flat] = ctx.gene_row[cols]
+    counts_sub.ravel()[flat] = ctx.counts[rows, cols]
+    return {
+        ctx.gk: ctx.gene_matrix(),
+        ctx.ck: ctx.counts,
+        GENES_SUBSET: genes_sub,
+        COUNTS_SUBSET: counts_sub,
+        LIBRARY_SIZE: ctx.library(),
+    }
+
+
+@_strategy("expressed_zero")
+def _expressed_zero(ctx: _Ctx) -> dict:
+    # reference (datamodule.py:733-753): random permutation, then a stable
+    # sort by expressed ascending, truncated — i.e. order by the composite
+    # key (expressed, uniform). One argsort of expressed + U(0,1) is the
+    # same distribution: non-expressed genes first, uniform order per group.
+    expressed = ctx.counts > 0
+    order = np.argsort(expressed + _uniform_keys(ctx), axis=1)[:, : ctx.seq_len]
+    genes, counts = ctx.gather(order)
+    return {
+        ctx.gk: ctx.gene_matrix(),
+        ctx.ck: ctx.counts,
+        GENES_SUBSET: genes,
+        COUNTS_SUBSET: counts,
+        LIBRARY_SIZE: ctx.library(),
+    }
+
+
+@_strategy("random_expressed")
+def _random_expressed(ctx: _Ctx) -> dict:
+    # up to seq_len expressed genes per row, uniform order, mask-padded:
+    # uniform keys on expressed genes, +inf elsewhere — a single argsort
+    # yields both the sample and (via per-row nnz) the padding boundary
+    mask_idx = ctx.encoder.mask_token_idx
+    expressed = ctx.counts > 0
+    keys = np.where(expressed, _uniform_keys(ctx), np.inf)
+    idx = np.argsort(keys, axis=1)[:, : ctx.seq_len]
+    genes, counts = ctx.gather(idx)
+    pad = np.arange(ctx.seq_len) >= expressed.sum(1, keepdims=True)
+    genes[pad] = mask_idx
+    counts[pad] = 0
+    return {ctx.gk: genes, ctx.ck: counts, LIBRARY_SIZE: ctx.library()}
 
 
 def tokenize_cells(
@@ -37,113 +188,16 @@ def tokenize_cells(
     counts_key: str = COUNTS,
     seed: Optional[int] = None,
 ) -> dict:
-    counts = cell
-    gene_idx = np.tile(encoder.encode_genes(var_names), (len(counts), 1))
-    library_size = counts.sum(1, keepdims=True)
-
-    rng = np.random.default_rng(seed=seed)
-    N, G = counts.shape
-
-    if sample_genes == "weighted":
-        # inverse-mean-scaled sampling without replacement (ref :695-706)
-        means = getattr(encoder, "gene_means", None)
-        if means is None:
-            raise ValueError("encoder.metadata_genes must be set for weighted sampling")
-        scaled = (counts + 1) / means
-        scaled = scaled / scaled.sum(1, keepdims=True)
-        sampled_idx = np.stack(
-            [rng.choice(G, size=genes_seq_len, replace=False, p=p) for p in scaled]
-        )
-        return {
-            gene_tokens_key: np.take_along_axis(gene_idx, sampled_idx, axis=1),
-            counts_key: np.take_along_axis(counts, sampled_idx, axis=1),
-            LIBRARY_SIZE: library_size,
-        }
-
-    if sample_genes == "expressed":
-        # pack nonzero genes left-aligned into a fixed-length buffer (ref :708-731)
-        mask_idx = encoder.mask_token_idx
-        expressed = counts > 0
-        num_expressed = expressed.sum(axis=1)
-        if (num_expressed > genes_seq_len).any():
-            raise ValueError("genes_seq_len is smaller than number of expressed genes")
-
-        pos_order = expressed.cumsum(axis=1) - 1
-        genes_out = np.full((N, genes_seq_len), mask_idx, dtype=gene_idx.dtype)
-        counts_out = np.zeros((N, genes_seq_len), dtype=counts.dtype)
-        ii, jj = np.where(expressed)
-        pp = pos_order[expressed]
-        genes_out[ii, pp] = gene_idx[ii, jj]
-        counts_out[ii, pp] = counts[ii, jj]
-        return {
-            gene_tokens_key: gene_idx,
-            counts_key: counts,
-            GENES_SUBSET: genes_out,
-            COUNTS_SUBSET: counts_out,
-            LIBRARY_SIZE: library_size,
-        }
-
-    if sample_genes == "expressed_zero":
-        # expressed-last stable sort of a random permutation, truncated (ref :733-753)
-        expressed = counts > 0
-        permuted = np.stack([rng.permutation(G) for _ in range(N)])
-        sh_gene = np.take_along_axis(gene_idx, permuted, axis=1)
-        sh_counts = np.take_along_axis(counts, permuted, axis=1)
-        sh_expr = np.take_along_axis(expressed, permuted, axis=1)
-        order = np.argsort(sh_expr.astype(int), axis=1, kind="stable")
-        final_gene = np.take_along_axis(sh_gene, order, axis=1)
-        final_counts = np.take_along_axis(sh_counts, order, axis=1)
-        return {
-            gene_tokens_key: gene_idx,
-            counts_key: counts,
-            GENES_SUBSET: final_gene[:, :genes_seq_len],
-            COUNTS_SUBSET: final_counts[:, :genes_seq_len],
-            LIBRARY_SIZE: library_size,
-        }
-
-    if sample_genes == "random_expressed":
-        # sample up to seq_len expressed genes, mask-pad the rest (ref :755-787)
-        mask_idx = encoder.mask_token_idx
-        nonzero = counts > 0
-        sampled_idx = np.stack(
-            [
-                np.pad(
-                    rng.choice(
-                        np.nonzero(nonzero[i])[0],
-                        size=min(genes_seq_len, nonzero[i].sum()),
-                        replace=False,
-                    ),
-                    (0, max(0, genes_seq_len - nonzero[i].sum())),
-                    constant_values=-1,
-                )
-                for i in range(N)
-            ]
-        )
-        padded = sampled_idx == -1
-        safe = np.where(padded, 0, sampled_idx)
-        genes_out = np.take_along_axis(gene_idx, safe, axis=1)
-        counts_out = np.take_along_axis(counts, safe, axis=1)
-        genes_out[padded] = mask_idx
-        counts_out[padded] = 0
-        return {
-            gene_tokens_key: genes_out,
-            counts_key: counts_out,
-            LIBRARY_SIZE: library_size,
-        }
-
-    if sample_genes == "random":
-        sampled_idx = np.stack([rng.choice(G, size=genes_seq_len, replace=False) for _ in range(N)])
-        return {
-            gene_tokens_key: np.take_along_axis(gene_idx, sampled_idx, axis=1),
-            counts_key: np.take_along_axis(counts, sampled_idx, axis=1),
-            LIBRARY_SIZE: library_size,
-        }
-
-    if sample_genes == "none":
-        return {
-            gene_tokens_key: gene_idx,
-            counts_key: counts,
-            LIBRARY_SIZE: library_size,
-        }
-
-    raise ValueError(f"Invalid sample_genes value: {sample_genes}")
+    strategy = _STRATEGIES.get(sample_genes)
+    if strategy is None:
+        raise ValueError(f"Invalid sample_genes value: {sample_genes}")
+    ctx = _Ctx(
+        counts=cell,
+        gene_row=encoder.encode_genes(var_names),
+        seq_len=genes_seq_len,
+        rng=np.random.default_rng(seed=seed),
+        encoder=encoder,
+        gk=gene_tokens_key,
+        ck=counts_key,
+    )
+    return strategy(ctx)

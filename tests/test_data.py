@@ -103,6 +103,45 @@ class TestTokenize:
         with pytest.raises(ValueError, match="Invalid sample_genes"):
             tokenize_cells(counts, VAR, MockEncoder(), genes_seq_len=5, sample_genes="bogus")
 
+    def test_weighted_first_draw_matches_probabilities(self):
+        """The exponential-race construction must draw gene i first with
+        probability p_i (reference rng.choice(..., p) sequential semantics,
+        datamodule.py:695-706). One cell, strongly skewed weights."""
+        enc = MockEncoder()
+        enc.gene_means = np.ones(4)
+        counts = np.array([[9.0, 0.0, 0.0, 0.0]])  # p = (10, 1, 1, 1)/13
+        hits = np.zeros(4)
+        for seed in range(2000):
+            out = tokenize_cells(
+                counts, [f"g{i}" for i in range(4)], enc,
+                genes_seq_len=2, sample_genes="weighted", seed=seed,
+            )
+            hits[out["genes"][0, 0] - 1] += 1  # MockEncoder ids are 1..G
+        freq = hits / hits.sum()
+        expected = np.array([10, 1, 1, 1]) / 13
+        assert np.abs(freq - expected).max() < 0.04
+
+    def test_expressed_zero_prefers_nonexpressed(self):
+        """Reference stable-sorts expressed genes LAST before truncation
+        (datamodule.py:741-745) — with enough zeros, the subset is all-zero."""
+        counts = np.zeros((2, 30), np.float32)
+        counts[:, :3] = 5.0
+        out = tokenize_cells(
+            counts, VAR, MockEncoder(), genes_seq_len=20, sample_genes="expressed_zero", seed=0
+        )
+        assert (out["counts_subset"] == 0).all()
+
+    def test_random_expressed_padding_boundary(self):
+        """Rows with fewer expressed genes than seq_len mask-pad the tail."""
+        counts = np.zeros((1, 30), np.float32)
+        counts[0, [2, 7, 11]] = 4.0
+        out = tokenize_cells(
+            counts, VAR, MockEncoder(), genes_seq_len=12, sample_genes="random_expressed", seed=1
+        )
+        assert (out["counts"][0, :3] > 0).all()
+        assert (out["counts"][0, 3:] == 0).all()
+        assert (out["genes"][0, 3:] == MockEncoder().mask_token_idx).all()
+
     @pytest.mark.parametrize("n", [1, 3, 8])
     def test_batch_size_sweep(self, counts, n):
         out = tokenize_cells(
