@@ -22,6 +22,7 @@ from scldm_tpu.config.build import (
     build_ldm_task,
     build_vocabulary_encoder,
 )
+from scldm_tpu.parallel.distributed import maybe_initialize_distributed
 from scldm_tpu.config.loader import load_config, merge_overrides, resolve
 from scldm_tpu.constants import NON_CONDITION_KEYS, ModelEnum
 from scldm_tpu.sampling.size_factors import SizeFactorSampler
@@ -37,6 +38,7 @@ COUNTS = ModelEnum.COUNTS.value
 
 
 def main(argv=None) -> int:
+    maybe_initialize_distributed()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default=str(DEFAULT_CONFIG))
     p.add_argument("overrides", nargs="*")

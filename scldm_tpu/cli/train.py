@@ -22,9 +22,10 @@ from scldm_tpu.config.build import (
     build_vocabulary_encoder,
     compute_max_steps,
 )
+from scldm_tpu.cli._common import make_checkpoint_manager, make_wandb_logger
 from scldm_tpu.config.loader import load_config, merge_overrides, resolve
+from scldm_tpu.parallel.distributed import maybe_initialize_distributed
 from scldm_tpu.parallel.mesh import make_mesh
-from scldm_tpu.training.checkpoint import CheckpointManager
 from scldm_tpu.training.loop import CSVLogger, fit
 from scldm_tpu.utils.logger import logger
 
@@ -39,6 +40,7 @@ def parse_args(argv):
 
 
 def main(argv=None) -> int:
+    maybe_initialize_distributed()
     args = parse_args(argv if argv is not None else sys.argv[1:])
     cfg = resolve(merge_overrides(load_config(args.config), args.overrides))
 
@@ -71,8 +73,9 @@ def main(argv=None) -> int:
     logger.info(f"VAE params: {n_params:,}")
 
     ckpt_dir = cfg.get("checkpoint_dir", "outputs/checkpoints/vae")
-    mgr = CheckpointManager(ckpt_dir, max_to_keep=cfg["training"]["checkpoint"]["max_to_keep"])
+    mgr = make_checkpoint_manager(cfg, ckpt_dir)
     mgr.save_config(cfg)
+    wandb_logger = make_wandb_logger(cfg)
 
     state = fit(
         task,
@@ -88,7 +91,10 @@ def main(argv=None) -> int:
         save_every_epochs=int(cfg["training"]["checkpoint"].get("save_every_epochs", 1)),
         eval_rng_seed=seed,
         steps_per_dispatch=int(cfg["training"].get("steps_per_dispatch", 1)),
+        wandb_logger=wandb_logger,
     )
+    if wandb_logger is not None:
+        wandb_logger.finish()
     logger.info(f"done at step {int(state.step)}")
     return 0
 

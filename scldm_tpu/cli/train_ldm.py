@@ -23,8 +23,10 @@ from scldm_tpu.config.build import (
     build_vocabulary_encoder,
     compute_max_steps,
 )
+from scldm_tpu.parallel.distributed import maybe_initialize_distributed
 from scldm_tpu.config.loader import load_config, merge_overrides, resolve
 from scldm_tpu.parallel.mesh import make_mesh
+from scldm_tpu.cli._common import make_checkpoint_manager, make_wandb_logger
 from scldm_tpu.training.checkpoint import CheckpointManager
 from scldm_tpu.training.loop import CSVLogger, fit
 from scldm_tpu.utils.logger import logger
@@ -98,6 +100,7 @@ def load_vae_from_checkpoint(cfg: dict, example_batch: dict):
 
 
 def main(argv=None) -> int:
+    maybe_initialize_distributed()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default=str(DEFAULT_CONFIG))
     p.add_argument("overrides", nargs="*")
@@ -127,8 +130,9 @@ def main(argv=None) -> int:
     logger.info(f"DiT params: {n_params:,}; max_steps={max_steps}")
 
     ckpt_dir = cfg.get("checkpoint_dir", "outputs/checkpoints/ldm")
-    mgr = CheckpointManager(ckpt_dir, max_to_keep=cfg["training"]["checkpoint"]["max_to_keep"])
+    mgr = make_checkpoint_manager(cfg, ckpt_dir)
     mgr.save_config(cfg)
+    wandb_logger = make_wandb_logger(cfg)
 
     # periodic generation eval during validation (models.py:849-939 parity)
     gen_cfg = cfg["model"].get("eval_generation") or {}
@@ -174,7 +178,10 @@ def main(argv=None) -> int:
         eval_rng_seed=seed,
         steps_per_dispatch=int(cfg["training"].get("steps_per_dispatch", 1)),
         on_validation_end=on_validation_end,
+        wandb_logger=wandb_logger,
     )
+    if wandb_logger is not None:
+        wandb_logger.finish()
     logger.info(f"done at step {int(state.step)}")
     return 0
 

@@ -15,9 +15,10 @@ from scldm_tpu.config.build import (
     build_vocabulary_encoder,
     compute_max_steps,
 )
+from scldm_tpu.parallel.distributed import maybe_initialize_distributed
 from scldm_tpu.config.loader import load_config, merge_overrides, resolve
 from scldm_tpu.parallel.mesh import make_mesh
-from scldm_tpu.training.checkpoint import CheckpointManager
+from scldm_tpu.cli._common import make_checkpoint_manager, make_wandb_logger
 from scldm_tpu.training.loop import CSVLogger, fit
 from scldm_tpu.utils.logger import logger
 
@@ -25,6 +26,7 @@ DEFAULT_CONFIG = Path(__file__).parent.parent.parent / "configs" / "vae_scvi_tra
 
 
 def main(argv=None) -> int:
+    maybe_initialize_distributed()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default=str(DEFAULT_CONFIG))
     p.add_argument("overrides", nargs="*")
@@ -50,8 +52,9 @@ def main(argv=None) -> int:
     state = task.init_state(jax.random.PRNGKey(seed), example)
 
     ckpt_dir = cfg.get("checkpoint_dir", "outputs/checkpoints/scvi")
-    mgr = CheckpointManager(ckpt_dir, max_to_keep=cfg["training"]["checkpoint"]["max_to_keep"])
+    mgr = make_checkpoint_manager(cfg, ckpt_dir)
     mgr.save_config(cfg)
+    wandb_logger = make_wandb_logger(cfg)
 
     state = fit(
         task,
@@ -67,7 +70,10 @@ def main(argv=None) -> int:
         save_every_epochs=int(cfg["training"]["checkpoint"].get("save_every_epochs", 1)),
         eval_rng_seed=seed,
         steps_per_dispatch=int(cfg["training"].get("steps_per_dispatch", 1)),
+        wandb_logger=wandb_logger,
     )
+    if wandb_logger is not None:
+        wandb_logger.finish()
     logger.info(f"done at step {int(state.step)}")
     return 0
 

@@ -15,24 +15,81 @@ from typing import Any, Optional
 import orbax.checkpoint as ocp
 
 
+def _guard_multihost_directory(directory: Path) -> None:
+    """Orbax multi-host saves require every process to write into the SAME
+    (shared-filesystem or object-store) directory; a host-local path silently
+    produces per-host partial checkpoints. Fail fast on the obvious cases."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    s = str(directory)
+    if s.startswith(("/tmp/", "/var/", "/dev/shm/")):
+        raise ValueError(
+            f"checkpoint dir {s} is host-local but this is a "
+            f"{jax.process_count()}-process run; use a shared filesystem "
+            "(NFS/GCS-fuse) or object-store path visible to every host"
+        )
+
+
 class CheckpointManager:
-    def __init__(self, directory: str | Path, max_to_keep: int = 3):
+    """Save-last retention for resume, plus optional best-k-by-monitored-metric
+    retention in a `best/` subdirectory — the orbax equivalent of Lightning's
+    ModelCheckpoint(save_last=True, save_top_k=k, monitor="val_loss")
+    (reference training/default.yaml:42-52). Keeping the two retention policies
+    in separate orbax managers means auto-resume always sees the true latest
+    step while `best/` independently keeps the k best validation snapshots.
+    """
+
+    def __init__(
+        self,
+        directory: str | Path,
+        max_to_keep: int = 3,
+        monitor: Optional[str] = None,
+        save_top_k: int = 1,
+        mode: str = "min",
+    ):
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        _guard_multihost_directory(self.directory)
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
             ),
         )
+        self.monitor = monitor
+        self._best = None
+        if monitor and save_top_k:
+            self._best = ocp.CheckpointManager(
+                self.directory / "best",
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=save_top_k,
+                    best_fn=lambda m: m[monitor],
+                    best_mode=mode,
+                    create=True,
+                    enable_async_checkpointing=False,
+                ),
+            )
 
     def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> None:
-        self._mgr.save(
-            step,
-            args=ocp.args.StandardSave(state),
-            metrics={k: float(v) for k, v in (metrics or {}).items()},
-        )
+        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
         self._mgr.wait_until_finished()
+        if self._best is not None and self.monitor in metrics:
+            self._best.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+            self._best.wait_until_finished()
+
+    def best_step(self) -> Optional[int]:
+        """Step of the best checkpoint by the monitored metric (None if no
+        monitored saves happened)."""
+        return self._best.best_step() if self._best is not None else None
+
+    def restore_best(self, template: Any) -> Any:
+        step = self.best_step()
+        if step is None:
+            raise FileNotFoundError(f"no best checkpoint in {self.directory / 'best'}")
+        return self._best.restore(step, args=ocp.args.StandardRestore(template))
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -62,3 +119,5 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+        if self._best is not None:
+            self._best.close()

@@ -83,6 +83,7 @@ def fit(
     eval_rng_seed: int = 0,
     steps_per_dispatch: int = 1,
     on_validation_end: Optional[Callable] = None,  # (epoch, val_metrics, state)
+    wandb_logger=None,  # utils.wandb_logger.WandbLogger (rank-0 no-op safe)
 ):
     """Run training until max_steps or epochs exhaust. Returns final state."""
     start_step = int(state.step)
@@ -150,6 +151,8 @@ def fit(
                 )
                 if csv_logger:
                     csv_logger.log(metrics)
+                if wandb_logger:
+                    wandb_logger.log(metrics, step=step)
 
         # flush a partial dispatch group at epoch end as single steps
         for batch in pending:
@@ -169,6 +172,8 @@ def fit(
             )
             if csv_logger:
                 csv_logger.log({"step": step, "epoch": epoch, **val_metrics})
+            if wandb_logger:
+                wandb_logger.log({"epoch": epoch, **val_metrics}, step=step)
             if on_validation_end is not None:
                 on_validation_end(epoch, val_metrics, state)
         else:

@@ -238,14 +238,16 @@ class VAETask:
         return self._eval_step(state.params, batch, rng)
 
     def encode(self, params, batch) -> jax.Array:
-        return self.vae.apply(
-            params,
-            counts=batch[COUNTS],
-            genes=batch[GENES],
-            counts_subset=batch.get(C_SUB),
-            genes_subset=batch.get(G_SUB),
-            method="encode",
-        )
+        # same fallback convention as _apply: prefer the packed subsets, fall
+        # back to full-length counts/genes — and accept lean batches that
+        # carry ONLY subsets (no dense counts at all)
+        counts = batch.get(C_SUB, batch.get(COUNTS))
+        genes = batch.get(G_SUB, batch.get(GENES))
+        if counts is None or genes is None:
+            raise KeyError(
+                "encode needs counts/genes or counts_subset/genes_subset in the batch"
+            )
+        return self.vae.apply(params, counts=counts, genes=genes, method="encode")
 
     def reconstruct(self, params, batch, rng) -> jax.Array:
         out, z = self._apply(params, batch, train=False)

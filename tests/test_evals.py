@@ -74,6 +74,30 @@ class TestMMD:
             "mmd_braycurtis_counts", "mmd_tanimoto", "mmd_ruzicka_counts", "mmd_rbf",
         }
 
+    def test_rbf_median_finite_on_raw_count_magnitudes(self, rng):
+        """Round-1 QUALITY jsons had mmd_rbf Infinity/NaN on raw counts
+        (fp32 norm overflow at fixed scale=1.0). The median-bandwidth
+        variant must stay finite and discriminative at those magnitudes."""
+        from scldm_tpu.evals.mmd import rbf_mmd_median
+
+        x = jnp.array(rng.poisson(50.0, size=(128, 2000)) * 1e3, jnp.float32)
+        y = jnp.array(rng.poisson(50.0, size=(128, 2000)) * 1e3, jnp.float32)
+        z = jnp.array(rng.poisson(200.0, size=(128, 2000)) * 1e3, jnp.float32)
+        near = float(rbf_mmd_median(x, y))
+        far = float(rbf_mmd_median(x, z))
+        assert np.isfinite(near) and np.isfinite(far)
+        assert 0.0 <= near < 0.05
+        assert far > 0.5
+
+    def test_rbf_median_scale_invariant(self, rng):
+        from scldm_tpu.evals.mmd import rbf_mmd_median
+
+        x = jnp.array(rng.normal(size=(100, 8)), jnp.float32)
+        y = jnp.array(rng.normal(loc=1.0, size=(100, 8)), jnp.float32)
+        a = float(rbf_mmd_median(x, y))
+        b = float(rbf_mmd_median(x * 1e4, y * 1e4))
+        assert a == pytest.approx(b, rel=1e-3)
+
 
 class TestWasserstein:
     def test_sinkhorn_point_masses(self):

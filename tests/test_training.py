@@ -356,6 +356,34 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_best_k_retention(tmp_path):
+    """Best-k-by-val_loss retention (reference ModelCheckpoint monitor=val_loss
+    save_top_k, training/default.yaml:42-52): best/ keeps the k best monitored
+    saves while the main dir keeps the latest for resume."""
+    vae = build_transformer_vae(
+        n_genes=N_GENES, n_embed=16, n_embed_latent=8, n_layer=1,
+        n_inducing_points=4, n_head=2, n_head_cross=2,
+    )
+    task = VAETask(vae, num_training_steps=10)
+    batch = make_batch(jax.random.PRNGKey(0))
+    state = task.init_state(jax.random.PRNGKey(1), batch)
+
+    mgr = CheckpointManager(tmp_path / "ckpt", monitor="val_loss", save_top_k=2)
+    # losses dip at step 2 then worsen — best must stay pinned at step 2
+    for step, loss in [(1, 5.0), (2, 1.0), (3, 3.0), (4, 4.0)]:
+        state = state.replace(step=step)
+        mgr.save(step, state, metrics={"val_loss": loss})
+    assert mgr.best_step() == 2
+    assert mgr.latest_step() == 4  # resume still sees the true latest
+
+    restored_best = mgr.restore_best(task.init_state(jax.random.PRNGKey(1), batch))
+    assert int(restored_best.step) == 2
+    # top-2 retention: steps {2, 3} kept under best/, worse ones dropped
+    kept = sorted(int(p.name) for p in (tmp_path / "ckpt" / "best").iterdir() if p.name.isdigit())
+    assert kept == [2, 3]
+    mgr.close()
+
+
 def test_lean_batch_densify_parity():
     """Training on device-densified lean batches (no dense counts transferred)
     equals training on full batches."""
