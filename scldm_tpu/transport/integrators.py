@@ -34,25 +34,41 @@ def _t_vec(x: jax.Array, t: jax.Array) -> jax.Array:
 
 
 def odeint_euler(
-    drift: DriftFn, x: jax.Array, t0: float, t1: float, num_steps: int
+    drift: DriftFn,
+    x: jax.Array,
+    t0: float,
+    t1: float,
+    num_steps: int,
+    return_trajectory: bool = False,
 ) -> jax.Array:
     """Explicit Euler over `num_steps - 1` strides of linspace(t0, t1, num_steps).
 
     Matches the reference fixed-step convention where `num_steps` counts saved
     points, i.e. num_steps-1 function evaluations (integrators.py:95-111).
+    With return_trajectory, returns the (num_steps, ...) saved states including
+    the initial point — the torchdiffeq `odeint` output the reference callers
+    index with `[-1]` (models.py:812).
     """
     ts = jnp.linspace(t0, t1, num_steps)
     dt = ts[1] - ts[0]
 
     def step(xc, t):
-        return xc + dt * drift(xc, _t_vec(xc, t)), None
+        x_next = xc + dt * drift(xc, _t_vec(xc, t))
+        return x_next, x_next if return_trajectory else None
 
-    x_final, _ = jax.lax.scan(step, x, ts[:-1])
+    x_final, ys = jax.lax.scan(step, x, ts[:-1])
+    if return_trajectory:
+        return jnp.concatenate([x[None], ys], axis=0)
     return x_final
 
 
 def odeint_heun(
-    drift: DriftFn, x: jax.Array, t0: float, t1: float, num_steps: int
+    drift: DriftFn,
+    x: jax.Array,
+    t0: float,
+    t1: float,
+    num_steps: int,
+    return_trajectory: bool = False,
 ) -> jax.Array:
     """Explicit trapezoidal (Heun) fixed-step solver."""
     ts = jnp.linspace(t0, t1, num_steps)
@@ -61,7 +77,32 @@ def odeint_heun(
     def step(xc, t):
         k1 = drift(xc, _t_vec(xc, t))
         k2 = drift(xc + dt * k1, _t_vec(xc, t + dt))
-        return xc + 0.5 * dt * (k1 + k2), None
+        x_next = xc + 0.5 * dt * (k1 + k2)
+        return x_next, x_next if return_trajectory else None
+
+    x_final, ys = jax.lax.scan(step, x, ts[:-1])
+    if return_trajectory:
+        return jnp.concatenate([x[None], ys], axis=0)
+    return x_final
+
+
+def _odeint_fixed_tree(drift, x, t0: float, t1: float, num_steps: int, heun: bool):
+    """Fixed-step Euler/Heun over an arbitrary pytree state (used by the
+    likelihood ODE's augmented (x, logp) state)."""
+    tmap = jax.tree_util.tree_map
+    ts = jnp.linspace(t0, t1, num_steps)
+    dt = ts[1] - ts[0]
+    batch = jax.tree_util.tree_leaves(x)[0].shape[0]
+    dtype = jnp.result_type(float)
+
+    def step(xc, t):
+        t_vec = jnp.full((batch,), t, dtype)
+        k1 = drift(xc, t_vec)
+        if not heun:
+            return tmap(lambda a, b: a + dt * b, xc, k1), None
+        xp = tmap(lambda a, b: a + dt * b, xc, k1)
+        k2 = drift(xp, jnp.full((batch,), t + dt, dtype))
+        return tmap(lambda a, b, c: a + 0.5 * dt * (b + c), xc, k1, k2), None
 
     x_final, _ = jax.lax.scan(step, x, ts[:-1])
     return x_final
@@ -89,8 +130,8 @@ _DP_B4 = jnp.array(
 
 
 def odeint_dopri5(
-    drift: DriftFn,
-    x: jax.Array,
+    drift,
+    x,
     t0: float,
     t1: float,
     rtol: float = 1e-5,
@@ -99,8 +140,14 @@ def odeint_dopri5(
     safety: float = 0.9,
     min_factor: float = 0.2,
     max_factor: float = 10.0,
-) -> jax.Array:
+    save_ts=None,
+):
     """Adaptive RK45 to t1 inside a single `lax.while_loop`.
+
+    The state `x` may be ANY pytree (e.g. the (x, logp) augmented state of the
+    likelihood ODE) — it is ravelled to one vector for the controller and the
+    drift is wrapped accordingly. `drift(x_tree, t_vec)` must return a matching
+    pytree; `t_vec` is sized by the leading axis of the first leaf.
 
     Error control matches torchdiffeq's mixed rms norm:
         err = sqrt(mean((e / (atol + rtol * max(|y0|, |y1|)))**2))
@@ -108,11 +155,22 @@ def odeint_dopri5(
     always clipped so the final stride lands exactly on t1. `max_steps` bounds
     the loop for XLA (reaching it silently returns the current state — at the
     default tolerances the DiT velocity field converges in far fewer steps).
+
+    With `save_ts` (ascending array of save points spanning [t0, t1]), the
+    integration runs segment-by-segment between consecutive save points, each
+    segment fully adaptive, and returns the stacked states at every save point
+    (the torchdiffeq saved-trajectory contract; reference transport.py:324-369
+    returns this and callers take `[-1]`, models.py:812).
     """
+    from jax.flatten_util import ravel_pytree
+
     dtype = jnp.result_type(float)
-    t0 = jnp.asarray(t0, dtype)
-    t1 = jnp.asarray(t1, dtype)
-    span = t1 - t0
+    x0_flat, unravel = ravel_pytree(x)
+    batch = jax.tree_util.tree_leaves(x)[0].shape[0]
+
+    def flat_drift(xf, t):
+        t_vec = jnp.full((batch,), t, dtype)
+        return ravel_pytree(drift(unravel(xf), t_vec))[0]
 
     def rk_step(xc, t, dt):
         ks = []
@@ -123,7 +181,7 @@ def odeint_dopri5(
                 for j, aij in enumerate(_DP_A[i]):
                     acc = acc + aij * ks[j]
                 xi = xc + dt * acc
-            ks.append(drift(xi, _t_vec(xc, t + _DP_C[i] * dt)))
+            ks.append(flat_drift(xi, t + _DP_C[i] * dt))
         k_stack = jnp.stack(ks)
         x5 = xc + dt * jnp.tensordot(_DP_B5, k_stack, axes=1)
         x4 = xc + dt * jnp.tensordot(_DP_B4, k_stack, axes=1)
@@ -133,30 +191,49 @@ def odeint_dopri5(
         scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
         return jnp.sqrt(jnp.mean(jnp.square(e / scale)))
 
-    # Initial dt: conservative fraction of the interval; the controller adapts
-    # within a couple of steps, so a cheap heuristic suffices under jit.
-    dt0 = span / 100.0
+    def integrate(x_flat, t_a, t_b):
+        t_a = jnp.asarray(t_a, dtype)
+        t_b = jnp.asarray(t_b, dtype)
+        # Initial dt: conservative fraction of the interval; the controller
+        # adapts within a couple of steps, so a cheap heuristic suffices.
+        dt0 = (t_b - t_a) / 100.0
 
-    def cond(state):
-        t, _x, _dt, n = state
-        return jnp.logical_and(t < t1 - 1e-12, n < max_steps)
+        def cond(state):
+            t, _x, _dt, n = state
+            return jnp.logical_and(t < t_b - 1e-12, n < max_steps)
 
-    def body(state):
-        t, xc, dt, n = state
-        dt = jnp.minimum(dt, t1 - t)
-        x_new, e = rk_step(xc, t, dt)
-        err = err_norm(e, xc, x_new)
-        accept = err <= 1.0
-        factor = jnp.clip(
-            safety * jnp.power(jnp.maximum(err, 1e-10), -0.2), min_factor, max_factor
-        )
-        dt_next = dt * factor
-        t = jnp.where(accept, t + dt, t)
-        xc = jnp.where(accept, x_new, xc)
-        return (t, xc, dt_next, n + 1)
+        def body(state):
+            t, xc, dt, n = state
+            dt = jnp.minimum(dt, t_b - t)
+            x_new, e = rk_step(xc, t, dt)
+            err = err_norm(e, xc, x_new)
+            accept = err <= 1.0
+            factor = jnp.clip(
+                safety * jnp.power(jnp.maximum(err, 1e-10), -0.2),
+                min_factor,
+                max_factor,
+            )
+            dt_next = dt * factor
+            t = jnp.where(accept, t + dt, t)
+            xc = jnp.where(accept, x_new, xc)
+            return (t, xc, dt_next, n + 1)
 
-    _, x_final, _, _ = jax.lax.while_loop(cond, body, (t0, x, dt0, jnp.array(0)))
-    return x_final
+        _, x_final, _, _ = jax.lax.while_loop(cond, body, (t_a, x_flat, dt0, jnp.array(0)))
+        return x_final
+
+    if save_ts is None:
+        return unravel(integrate(x0_flat, t0, t1))
+
+    save_ts = jnp.asarray(save_ts, dtype)
+
+    def seg(x_flat, bounds):
+        x_next = integrate(x_flat, bounds[0], bounds[1])
+        return x_next, x_next
+
+    bounds = jnp.stack([save_ts[:-1], save_ts[1:]], axis=1)
+    _, ys = jax.lax.scan(seg, x0_flat, bounds)
+    traj_flat = jnp.concatenate([x0_flat[None], ys], axis=0)
+    return jax.vmap(unravel)(traj_flat)
 
 
 # ---------------------------------------------------------------------------
@@ -173,11 +250,13 @@ def sdeint(
     t1: float,
     num_steps: int,
     method: str = "Euler",
+    return_trajectory: bool = False,
 ) -> jax.Array:
     """Euler–Maruyama or stochastic Heun over linspace(t0, t1, num_steps)[:-1].
 
     Returns the state after the scan (the reference's `xs[-1]` before its
-    deterministic last step; transport.py:312-315).
+    deterministic last step; transport.py:312-315), or with return_trajectory
+    the (num_steps, ...) saved states including the initial point.
     """
     ts = jnp.linspace(t0, t1, num_steps)
     dt = ts[1] - ts[0]
@@ -190,7 +269,7 @@ def sdeint(
         d = drift(xc, _t_vec(xc, t))
         g = diffusion(xc, _t_vec(xc, t))
         x_next = xc + d * dt + jnp.sqrt(2.0 * g) * dw
-        return (x_next, k), None
+        return (x_next, k), x_next if return_trajectory else None
 
     def heun_step(carry, t):
         # Stochastic Heun as in reference integrators.py:39-48.
@@ -203,8 +282,11 @@ def sdeint(
         k1 = drift(xhat, tv)
         xp = xhat + dt * k1
         k2 = drift(xp, _t_vec(xc, t + dt))
-        return (xhat + 0.5 * dt * (k1 + k2), k), None
+        x_next = xhat + 0.5 * dt * (k1 + k2)
+        return (x_next, k), x_next if return_trajectory else None
 
     step = {"Euler": em_step, "Heun": heun_step}[method]
-    (x_final, _), _ = jax.lax.scan(step, (x, key), ts[:-1])
+    (x_final, _), ys = jax.lax.scan(step, (x, key), ts[:-1])
+    if return_trajectory:
+        return jnp.concatenate([x[None], ys], axis=0)
     return x_final

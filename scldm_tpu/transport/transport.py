@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from scldm_tpu.transport import path as path_mod
 from scldm_tpu.transport.integrators import (
+    _odeint_fixed_tree,
     odeint_dopri5,
     odeint_euler,
     odeint_heun,
@@ -239,8 +240,13 @@ class Sampler:
         last_step="Mean",
         last_step_size=0.04,
         num_steps=250,
+        return_trajectory=False,
     ):
-        """SDE sampler (transport.py:269-322). Returns fn(rng, init, model, **kwargs)."""
+        """SDE sampler (transport.py:269-322). Returns fn(rng, init, model, **kwargs).
+
+        With return_trajectory, returns the saved states plus the deterministic
+        last step appended (the reference's `xs + [last]` list, transport.py:312-322).
+        """
         if last_step is None:
             last_step_size = 0.0
         sde_drift, sde_diffusion = self._sde_pieces(diffusion_form, diffusion_norm)
@@ -261,9 +267,13 @@ class Sampler:
             drift = lambda x, t: sde_drift(x, t, model, **model_kwargs)
             diffusion = lambda x, t: sde_diffusion(x, t)
             x = sdeint(
-                drift, diffusion, rng, init, t0, t1, num_steps, method=sampling_method
+                drift, diffusion, rng, init, t0, t1, num_steps,
+                method=sampling_method, return_trajectory=return_trajectory,
             )
             ts = jnp.full((init.shape[0],), t1, init.dtype)
+            if return_trajectory:
+                last = last_step_fn(x[-1], ts, model, **model_kwargs)
+                return jnp.concatenate([x, last[None]], axis=0)
             return last_step_fn(x, ts, model, **model_kwargs)
 
         return _sample
@@ -276,11 +286,16 @@ class Sampler:
         atol=1e-5,
         rtol=1e-5,
         reverse=False,
+        return_trajectory=False,
     ):
-        """ODE sampler (transport.py:324-369). Returns fn(init, model, **kwargs) -> final x.
+        """ODE sampler (transport.py:324-369). Returns fn(init, model, **kwargs).
 
-        NOTE: the reference returns the whole saved trajectory and callers take
-        `[-1]` (models.py:812); we return the final state directly.
+        By default returns the final state directly (what every reference
+        caller actually uses — it takes `[-1]`, models.py:812). With
+        return_trajectory, returns the (num_steps, batch, ...) saved states at
+        linspace(t0, t1, num_steps) including the initial point — the full
+        torchdiffeq output contract; for dopri5 each inter-save segment is
+        integrated adaptively to (atol, rtol).
 
         reverse=True integrates data -> noise: with forward interval (t0, t1),
         we solve ds over (1-t1, 1-t0) with drift -v(x, 1-s). (The reference's
@@ -307,22 +322,32 @@ class Sampler:
         def _sample(init, model, **model_kwargs):
             drift = lambda x, t: base_drift(x, t, model, **model_kwargs)
             if sampling_method == "euler":
-                return odeint_euler(drift, init, t0, t1, num_steps)
+                return odeint_euler(
+                    drift, init, t0, t1, num_steps, return_trajectory=return_trajectory
+                )
             if sampling_method == "heun":
-                return odeint_heun(drift, init, t0, t1, num_steps)
+                return odeint_heun(
+                    drift, init, t0, t1, num_steps, return_trajectory=return_trajectory
+                )
             if sampling_method == "dopri5":
-                return odeint_dopri5(drift, init, t0, t1, rtol=rtol, atol=atol)
+                save_ts = jnp.linspace(t0, t1, num_steps) if return_trajectory else None
+                return odeint_dopri5(
+                    drift, init, t0, t1, rtol=rtol, atol=atol, save_ts=save_ts
+                )
             raise NotImplementedError(sampling_method)
 
         return _sample
 
-    def sample_ode_likelihood(self, *, sampling_method="euler", num_steps=50):
+    def sample_ode_likelihood(
+        self, *, sampling_method="euler", num_steps=50, atol=1e-5, rtol=1e-5
+    ):
         """Hutchinson-estimator exact log-likelihood ODE (transport.py:371-430).
 
-        Integrates the reverse-time PF-ODE jointly with the divergence estimate;
-        fixed-step only (adaptive control over an augmented state adds little
-        here and keeps the program a single scan). Returns
-        fn(rng, x, model, **kwargs) -> (logp, z0).
+        Integrates the reverse-time PF-ODE jointly with the divergence estimate.
+        sampling_method: "euler"/"heun" fixed-step scans, or "dopri5" — adaptive
+        RK45 over the augmented (x, logp) pytree state (the reference's solver
+        menu, transport.py:371-430). Returns fn(rng, x, model, **kwargs)
+        -> (logp, z0).
         """
         t0, t1 = self.transport.check_interval(
             self.transport.train_eps,
@@ -339,25 +364,33 @@ class Sampler:
                 - 1.0
             )
 
-            def drift_fn(xc, t_vec):
+            def aug_drift(state, t_vec):
+                # reverse-time PF-ODE over the augmented (x, logp) state:
+                # dx/ds = -f(x, 1-s), dlogp/ds = +div f (Hutchinson estimate,
+                # one jvp per eval shared between f and its divergence)
+                xc, _logp = state
                 rev_t = jnp.ones_like(t_vec) * (1.0 - t_vec)
-                return self.drift(xc, rev_t, model, **model_kwargs)
-
-            ts = jnp.linspace(t0, t1, num_steps)
-            dt = ts[1] - ts[0]
-
-            def step(carry, t):
-                xc, logp = carry
-                t_vec = jnp.full((xc.shape[0],), t, xc.dtype)
-                f, jvp_val = jax.jvp(lambda y: drift_fn(y, t_vec), (xc,), (eps,))
-                div_est = jnp.sum(
-                    (jvp_val * eps).reshape(xc.shape[0], -1), axis=1
+                f, jvp_val = jax.jvp(
+                    lambda y: self.drift(y, rev_t, model, **model_kwargs), (xc,), (eps,)
                 )
-                # reverse-time integration: dx = -f dt, dlogp = div dt
-                return (xc - dt * f, logp + dt * div_est), None
+                div_est = jnp.sum((jvp_val * eps).reshape(xc.shape[0], -1), axis=1)
+                return (-f, div_est)
 
-            init_logp = jnp.zeros((x.shape[0],), x.dtype)
-            (z0, delta_logp), _ = jax.lax.scan(step, (x, init_logp), ts[:-1])
+            init = (x, jnp.zeros((x.shape[0],), x.dtype))
+            if sampling_method == "euler":
+                z0, delta_logp = _odeint_fixed_tree(
+                    aug_drift, init, t0, t1, num_steps, heun=False
+                )
+            elif sampling_method == "heun":
+                z0, delta_logp = _odeint_fixed_tree(
+                    aug_drift, init, t0, t1, num_steps, heun=True
+                )
+            elif sampling_method == "dopri5":
+                z0, delta_logp = odeint_dopri5(
+                    aug_drift, init, t0, t1, rtol=rtol, atol=atol
+                )
+            else:
+                raise NotImplementedError(sampling_method)
             prior_logp = self.transport.prior_logp(z0)
             return prior_logp - delta_logp, z0
 
