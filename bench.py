@@ -7,6 +7,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 `vs_baseline` is measured against an equivalent PyTorch implementation run on
 this host (benchmarks/torch_baseline.py) since the reference publishes no
 numbers; the torch measurement is cached in .bench_baseline.json.
+
+Timing note: on the tunneled TPU platform `jax.block_until_ready` can return
+before device execution completes, which silently inflates throughput by
+orders of magnitude (this bug produced round 1's 629k cells/s headline).
+Every window here therefore syncs with a scalar host fetch, which provably
+waits for the computation.
 """
 
 from __future__ import annotations
@@ -26,36 +32,30 @@ BATCH = 128
 N_GENES = 17_002
 SEQ_LEN = 6_147
 STEPS_PER_DISPATCH = 10  # optimizer steps fused per compiled call (training/loop.py)
-DISPATCHES = 5
 BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
 
 
 def synth_batch(rng: np.random.Generator):
-    # dentate-gyrus-like sparsity: ~2k expressed genes per cell
-    counts = np.zeros((BATCH, N_GENES), np.float32)
-    for i in range(BATCH):
-        nnz = rng.integers(1500, 4000)
-        idx = rng.choice(N_GENES, size=nnz, replace=False)
-        counts[i, idx] = rng.poisson(3.0, size=nnz) + 1
-    genes = np.tile(np.arange(1, N_GENES + 1, dtype=np.int64)[None], (BATCH, 1))
-    genes_sub = np.zeros((BATCH, SEQ_LEN), np.int64)
+    """Lean production-shaped batch: only the expressed subsets travel to the
+    device (data/datamodule.py lean mode); dense counts are rebuilt on device."""
+    genes_sub = np.zeros((BATCH, SEQ_LEN), np.int32)
     counts_sub = np.zeros((BATCH, SEQ_LEN), np.float32)
     for i in range(BATCH):
-        nz = np.nonzero(counts[i])[0]
-        genes_sub[i, : len(nz)] = genes[i, nz]
-        counts_sub[i, : len(nz)] = counts[i, nz]
+        # dentate-gyrus-like sparsity: ~2k expressed genes per cell
+        nnz = int(rng.integers(1500, 4000))
+        idx = np.sort(rng.choice(N_GENES, size=nnz, replace=False))
+        genes_sub[i, :nnz] = idx + 1
+        counts_sub[i, :nnz] = rng.poisson(3.0, size=nnz) + 1
     return {
-        "counts": counts,
-        "genes": genes,
-        "library_size": counts.sum(1, keepdims=True),
-        "counts_subset": counts_sub,
         "genes_subset": genes_sub,
+        "counts_subset": counts_sub,
+        "library_size": counts_sub.sum(1, keepdims=True),
     }
 
 
 def measure_ours() -> float:
     from scldm_tpu.nn.vae import build_transformer_vae
-    from scldm_tpu.parallel.mesh import make_mesh, shard_batch
+    from scldm_tpu.parallel.mesh import make_mesh, shard_stacked_batch
     from scldm_tpu.training.vae_task import VAETask
 
     n_dev = len(jax.devices())
@@ -64,32 +64,29 @@ def measure_ours() -> float:
     task = VAETask(vae, num_training_steps=10_000, mesh=mesh)
     batch = synth_batch(np.random.default_rng(0))
     state = task.init_state(jax.random.PRNGKey(0), batch)
-    if mesh is not None:
-        batch = shard_batch(batch, mesh)
-    else:
-        batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
     # the production loop fuses K optimizer steps per dispatch (training/loop.py
     # steps_per_dispatch); bench the same program shape
     stacked = jax.tree_util.tree_map(
-        lambda x: jnp.stack([x] * STEPS_PER_DISPATCH), batch
+        lambda x: np.stack([x] * STEPS_PER_DISPATCH), batch
     )
+    if mesh is not None:
+        stacked = shard_stacked_batch(stacked, mesh)
+    else:
+        stacked = jax.tree_util.tree_map(jnp.asarray, stacked)
 
-    # warmup / compile
+    # warmup / compile — scalar fetch is the only reliable device sync here
     state, metrics = task.train_steps(state, stacked)
-    jax.block_until_ready(metrics["train_loss"])
+    assert np.isfinite(float(metrics["train_loss"]))
 
-    # best of 3 windows: the remote-attached chip shows tunnel/host jitter that
-    # a single window conflates with device throughput
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(DISPATCHES):
-            state, metrics = task.train_steps(state, stacked)
-        jax.block_until_ready(metrics["train_loss"])
+        state, metrics = task.train_steps(state, stacked)
+        loss = float(metrics["train_loss"])  # forces completion
         dt = time.perf_counter() - t0
-        best = max(best, BATCH * STEPS_PER_DISPATCH * DISPATCHES / dt)
-    assert np.isfinite(float(metrics["train_loss"]))
+        best = max(best, BATCH * STEPS_PER_DISPATCH / dt)
+    assert np.isfinite(loss)
     return best
 
 

@@ -42,12 +42,13 @@ def main():
     stacked = jax.tree_util.tree_map(lambda x: jnp.stack([x] * K), dev_batch)
 
     # --- LDM training throughput (frozen-VAE encode + DiT update, fused K) ----
+    # scalar fetch = the only reliable device sync on the tunneled platform
     state, m = task.train_steps(state, stacked)
-    jax.block_until_ready(m["train_loss"])
+    assert np.isfinite(float(m["train_loss"]))
     t0 = time.perf_counter()
     for _ in range(5):
         state, m = task.train_steps(state, stacked)
-    jax.block_until_ready(m["train_loss"])
+    _ = float(m["train_loss"])
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "ldm_train_cells_per_sec",
@@ -71,15 +72,17 @@ def main():
         sfs, guidance_weight={"clusters": 1.0}, sampling_method="euler",
         num_steps=num_steps, use_ema=True,
     )
-    genes = jnp.asarray(batch["genes"])
+    from scldm_tpu.ops.transforms import canonical_gene_ids
+
+    genes = canonical_gene_ids(vae_bench.N_GENES)
     cond = {"clusters": jnp.asarray(batch["clusters"])}
     counts, z = fn(state, jax.random.PRNGKey(2), genes, cond)
-    jax.block_until_ready(counts)
+    _ = float(counts.ravel()[0])
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
         counts, z = fn(state, jax.random.PRNGKey(3 + i), genes, cond)
-    jax.block_until_ready(counts)
+    _ = float(counts.ravel()[0])
     dt = time.perf_counter() - t0
     cells_per_sec = 2 * BATCH * reps / dt  # doubled batch: uncond + cond halves
     denoiser_steps_per_sec = num_steps * reps / dt

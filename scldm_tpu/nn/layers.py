@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from scldm_tpu.ops.attention import sdpa
+from scldm_tpu.ops.attention import sdpa, sdpa_shared_q
 from scldm_tpu.ops.transforms import COUNT_TRANSFORMS
 
 
@@ -197,15 +197,19 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, q: jax.Array, deterministic: bool = True) -> jax.Array:
         B, S, _ = x.shape
-        _, M, Dout = q.shape
+        M, Dout = q.shape[-2], q.shape[-1]
         kv = _dense(2 * self.n_embed, self.bias, self.dtype, name="c_attn")(x)
         k, v = jnp.split(kv, 2, axis=-1)
         q = _dense(self.n_embed, self.bias, self.dtype, name="c_attn_q")(q)
         hd = Dout // self.n_head
-        q = q.reshape(B, M, self.n_head, hd)
         k = k.reshape(B, S, self.n_head, hd)
         v = v.reshape(B, S, self.n_head, hd)
-        y = sdpa(q, k, v).reshape(B, M, Dout)
+        if q.ndim == 2:
+            # batch-shared queries: project once, attend per batch element
+            y = sdpa_shared_q(q.reshape(M, self.n_head, hd), k, v)
+        else:
+            y = sdpa(q.reshape(B, M, self.n_head, hd), k, v)
+        y = y.reshape(B, M, Dout)
         y = _dense(self.n_embed, self.bias, self.dtype, name="c_proj")(y)
         if self.dropout > 0.0:
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
@@ -330,6 +334,9 @@ class CrossAttentionBlock(nn.Module):
         mlp = MLP(self.n_embed, self.multiple_of, dtype=self.dtype, name="mlp")
 
         if self.use_adaln:
+            if q.ndim == 2:
+                # per-batch modulation of the queries forces the batched layout
+                q = jnp.broadcast_to(q[None], (B,) + q.shape)
             mod = _dense(
                 6 * self.n_embed,
                 True,
@@ -353,7 +360,8 @@ class CrossAttentionBlock(nn.Module):
             out = q + gate_attn * attn(h_x, h_q, deterministic=deterministic)
             out = out + gate_mlp * mlp(modulate(ln("ln_2")(out), shift_mlp, scale_mlp))
         else:
-            out = q + attn(ln("ln_1")(x), ln("ln_1q")(q), deterministic=deterministic)
+            y = attn(ln("ln_1")(x), ln("ln_1q")(q), deterministic=deterministic)
+            out = (q[None] if q.ndim == 2 else q) + y
             out = out + mlp(ln("ln_2")(out))
         return out
 

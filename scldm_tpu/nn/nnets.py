@@ -203,7 +203,12 @@ class Decoder(nn.Module):
             )(x, condition=condition, deterministic=not train)
 
         if self.shared_embedding:
-            assert genes.ndim == 3, "shared_embedding=True expects pre-embedded gene queries"
+            # pre-embedded queries: (B, G, E), or (G, E) when the gene list is
+            # canonical/batch-shared (the training + generation hot path —
+            # LN/q-proj then run once, not per batch element)
+            assert genes.ndim in (2, 3) and jnp.issubdtype(genes.dtype, jnp.floating), (
+                "shared_embedding=True expects pre-embedded gene queries"
+            )
             q = genes
         else:
             q = nn.Embed(

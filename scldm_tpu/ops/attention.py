@@ -45,6 +45,21 @@ def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out
 
 
+def sdpa_shared_q(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Attention with a batch-shared query set.
+
+    q (M, H, D), k/v (B, S, H, D) -> (B, M, H, D). Used by the decoder's
+    unpooling cross-attention when the queries are the canonical full-gene
+    embedding row — identical for every batch element, so projecting/normalizing
+    them per batch element would be pure waste (and its backward a scatter).
+    """
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    scores = jnp.einsum("mhd,bshd->bhms", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * scale, axis=-1)
+    return jnp.einsum("bhms,bshd->bmhd", probs.astype(v.dtype), v)
+
+
 def sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Dispatching attention: Pallas flash kernel for long TPU sequences,
     plain XLA attention otherwise."""

@@ -71,6 +71,17 @@ def full_gene_row(batch: int, n_genes: int) -> jax.Array:
     return jnp.broadcast_to(jnp.arange(1, n_genes + 1, dtype=jnp.int32), (batch, n_genes))
 
 
+def canonical_gene_ids(n_genes: int) -> jax.Array:
+    """(n_genes,) gene-token ids 1..n_genes — the batch-shared decoder queries.
+
+    1-D genes signal the batch-free decoder path: the gene-embedding gather,
+    query LayerNorm, and q-projection run once per step instead of per batch
+    element, and their backward is a dense reduction instead of a scatter-add
+    over B×G indices.
+    """
+    return jnp.arange(1, n_genes + 1, dtype=jnp.int32)
+
+
 def log1p_cpm(counts: jax.Array, library_size: jax.Array | None = None) -> jax.Array:
     """log1p(counts / library * 10_000) — the scaling used throughout the
     reference validation metrics (models.py:240,321-322,899-900)."""

@@ -290,9 +290,8 @@ class LDMTask:
         latent = self.vae.encoder.latent_embedding
         seq_len = self.dit.seq_len
 
-        @jax.jit
-        def sample_fn(dit_params, vae_params, rng, genes, condition):
-            batch_size = genes.shape[0]
+        @partial(jax.jit, static_argnums=(5,))
+        def sample_fn(dit_params, vae_params, rng, genes, condition, batch_size):
             k_sf, k_z, k_nb = jax.random.split(rng, 3)
             log_sf = size_factor_sampler.sample(k_sf, condition, batch_size)
             z0 = jax.random.normal(k_z, (batch_size, seq_len, latent), jnp.float32)
@@ -340,20 +339,33 @@ class LDMTask:
 
             samples = sample_ode(z_cfg, model_fn, condition=condition_cfg)
 
-            genes_cfg = jnp.concatenate([genes, genes], axis=0)
+            # 1-D genes = batch-shared canonical row: the decoder consumes it
+            # directly (batch-free query path); 2-D doubles with the batch
+            genes_cfg = (
+                genes if genes.ndim == 1 else jnp.concatenate([genes, genes], axis=0)
+            )
             sf = jnp.exp(log_sf).reshape(-1, 1)
             sf_cfg = jnp.concatenate([sf, sf], axis=0)
             out = self.vae.apply(vae_params, samples, genes_cfg, sf_cfg, method="decode")
             counts = nb_sample(k_nb, out["mu"], out["theta"])
             return counts, samples
 
-        def wrapped(state_or_params, rng, genes, condition=None):
+        def wrapped(state_or_params, rng, genes, condition=None, batch_size=None):
             if isinstance(state_or_params, TrainState):
                 dit_p, vae_p = self._split_trees(state_or_params.params)
                 if use_ema:
                     dit_p = {"params": state_or_params.ema.params}
             else:
                 dit_p, vae_p = self._split_trees(state_or_params)
-            return sample_fn(dit_p, vae_p, rng, genes, condition or {})
+            if batch_size is None:
+                if genes.ndim == 2:
+                    batch_size = genes.shape[0]
+                elif condition:
+                    batch_size = next(iter(condition.values())).shape[0]
+                else:
+                    raise ValueError(
+                        "batch_size required when genes is 1-D and no condition given"
+                    )
+            return sample_fn(dit_p, vae_p, rng, genes, condition or {}, int(batch_size))
 
         return wrapped

@@ -102,10 +102,10 @@ class VAETask:
             b = example_batch[LIB].shape[0]
             n_genes = self.vae.decoder.n_genes
             example_batch = dict(example_batch)
+            from scldm_tpu.ops.transforms import canonical_gene_ids
+
             example_batch[COUNTS] = jnp.zeros((b, n_genes), jnp.float32)
-            example_batch[GENES] = jnp.broadcast_to(
-                jnp.arange(1, n_genes + 1, dtype=jnp.int32), (b, n_genes)
-            )
+            example_batch[GENES] = canonical_gene_ids(n_genes)
         # jit the init: eager flax init dispatches thousands of tiny ops, which
         # is pathological over remote-device transports
         params = jax.jit(self.vae.init)(
@@ -134,13 +134,14 @@ class VAETask:
         only the expressed subsets (ops.transforms.densify_expressed)."""
         if COUNTS in batch:
             return batch
-        from scldm_tpu.ops.transforms import densify_expressed, full_gene_row
+        from scldm_tpu.ops.transforms import canonical_gene_ids, densify_expressed
 
         n_genes = self.vae.decoder.n_genes
         counts = densify_expressed(batch[G_SUB], batch[C_SUB], n_genes)
         out = dict(batch)
         out[COUNTS] = counts
-        out[GENES] = full_gene_row(counts.shape[0], n_genes)
+        # 1-D genes = batch-free decoder-query path (see canonical_gene_ids)
+        out[GENES] = canonical_gene_ids(n_genes)
         if LIB not in out:
             out[LIB] = counts.sum(1, keepdims=True)
         return out

@@ -36,10 +36,10 @@ def annotate(name: str):
 def capture_train_steps(task, state, batch, log_dir: str, steps: int = 3):
     """Capture a short trace of compiled train steps (after warmup)."""
     state, m = task.train_step(state, batch)  # compile outside the trace
-    jax.block_until_ready(m["train_loss"])
+    float(m["train_loss"])  # scalar fetch: reliable sync on tunneled platforms
     with trace(log_dir):
         for _ in range(steps):
             with annotate("train_step"):
                 state, m = task.train_step(state, batch)
-        jax.block_until_ready(m["train_loss"])
+        float(m["train_loss"])
     return state
