@@ -179,9 +179,10 @@ class Decoder(nn.Module):
     def __call__(
         self,
         x: jax.Array,  # (B, M, E_latent)
-        genes: jax.Array,  # (B, G) token ids, or (B, G, E) pre-embedded queries
+        genes: Optional[jax.Array] = None,  # (B,G)/(G,) ids or (B,G,E)/(G,E) pre-embedded
         condition: Optional[jax.Array] = None,
         train: bool = False,
+        trunk_only: bool = False,  # stop before the cross block (fused-kernel path)
     ) -> jax.Array:
         x = LayerNormFP32(
             epsilon=self.layernorm_eps, use_scale=False, use_bias=False, name="latent_ln"
@@ -201,6 +202,11 @@ class Decoder(nn.Module):
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, condition=condition, deterministic=not train)
+
+        if trunk_only:
+            # the caller runs the cross block + head as one fused Pallas kernel
+            # (scldm_tpu.ops.fused_decoder); x here is the pre-cross latent
+            return x
 
         if self.shared_embedding:
             # pre-embedded queries: (B, G, E), or (G, E) when the gene list is

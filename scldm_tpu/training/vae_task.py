@@ -32,6 +32,94 @@ C_SUB = ModelEnum.COUNTS_SUBSET.value
 G_SUB = ModelEnum.GENES_SUBSET.value
 
 
+def _ln_affine(x: jax.Array, tree: Dict, eps: float) -> jax.Array:
+    m = x.mean(-1, keepdims=True)
+    v = jnp.square(x - m).mean(-1, keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + eps) * tree["scale"] + tree["bias"]
+
+
+def fused_nb_apply(
+    vae: TransformerVAE,
+    params,
+    batch: Dict,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[Dict[str, jax.Array], jax.Array]:
+    """VAE forward with the decoder cross block + NB-head logit as one fused
+    Pallas kernel (ops/fused_decoder.py) over the canonical gene list.
+
+    Matches `TransformerVAE.__call__` + shared-theta NB head on the batch-free
+    gene path: the input layer / encoder / decoder trunk run as flax modules;
+    the (B, G, E)-shaped tail never touches HBM. Differentiable end to end
+    (the kernel carries a custom VJP; the thin prep math here is plain jnp)."""
+    from scldm_tpu.ops.fused_decoder import (
+        build_attention_operands,
+        fused_decoder_tail,
+        pack_weights,
+    )
+
+    rngs = {"dropout": rng} if (train and rng is not None) else None
+    emb = vae.apply(
+        params, batch[C_SUB], batch[G_SUB],
+        method=lambda m, c, g: m.input_layer(c, g),
+    )
+    h_z = vae.apply(
+        params, emb, train, method=lambda m, e, tr: m.encoder(e, train=tr), rngs=rngs
+    )
+    x = vae.apply(
+        params, h_z, train,
+        method=lambda m, z, tr: m.decoder(z, None, train=tr, trunk_only=True),
+        rngs=rngs,
+    )
+
+    p = params["params"]
+    ca = p["decoder"]["decoder_cross_attention"]
+    head = p["decoder_head"]
+    eps = vae.decoder.layernorm_eps
+    n_head = vae.decoder.n_head_cross
+
+    table = p["input_layer"]["gene_embedding"]["embedding"]  # (G+1, E)
+    q = table[1:].astype(jnp.float32)  # canonical genes 1..G
+    qp = _ln_affine(q, ca["ln_1q"]["LayerNorm_0"], eps) @ ca["attn"]["c_attn_q"]["kernel"]
+    xn = _ln_affine(x.astype(jnp.float32), ca["ln_1"]["LayerNorm_0"], eps)
+    kv = xn @ ca["attn"]["c_attn"]["kernel"]  # (B, M, 2E)
+    k, v = jnp.split(kv, 2, axis=-1)
+    kfull, vproj = build_attention_operands(k, v, ca["attn"]["c_proj"]["kernel"], n_head)
+    weights = pack_weights(
+        ca["ln_2"]["LayerNorm_0"]["scale"],
+        ca["ln_2"]["LayerNorm_0"]["bias"],
+        ca["mlp"]["w1"]["kernel"],
+        ca["mlp"]["w2"]["kernel"],
+        ca["mlp"]["c_proj"]["kernel"],
+        head["params"]["kernel"],
+        head["params"]["bias"],
+    )
+    logits = fused_decoder_tail(
+        qp, q, kfull, vproj, weights, n_head, eps, 512, 16, 256, 8, interpret
+    )  # (B, G) f32
+
+    theta = jnp.exp(head["theta"]["embedding"][1:, 0].astype(jnp.float32))  # (G,)
+    t = vae.decoder_head.t
+    mu = jax.nn.softmax(logits / t, axis=1) * batch[LIB]
+    return {"mu": mu, "theta": theta}, h_z
+
+
+def _fused_path_ok(vae: TransformerVAE) -> bool:
+    """Static conditions under which fused_nb_apply matches the module path."""
+    from scldm_tpu.nn.heads import NegativeBinomialTransformerHead
+
+    head = vae.decoder_head
+    return (
+        isinstance(head, NegativeBinomialTransformerHead)
+        and head.shared_theta
+        and vae.decoder.shared_embedding
+        and not vae.decoder.use_adaln
+        and vae.decoder.dropout == 0.0
+        and not vae.decoder.bias  # kernel prep omits qkv/proj biases
+    )
+
+
 def vae_loss(
     counts: jax.Array, params: Dict[str, jax.Array], gaussian_head: bool
 ) -> jax.Array:
@@ -64,11 +152,15 @@ class VAETask:
         fract_decay: float = 0.1,
         decay_type: str = "sqrt",
         calculate_grad_norms: bool = False,
+        fused_decoder: Optional[bool] = None,  # None = auto (TPU & eligible arch)
         mesh: Optional[Mesh] = None,
     ):
         self.vae = vae
         self.calculate_grad_norms = calculate_grad_norms
         self.gaussian_head = isinstance(vae.decoder_head, GaussianTransformerHead)
+        if fused_decoder is None:
+            fused_decoder = jax.default_backend() == "tpu" and _fused_path_ok(vae)
+        self.fused_decoder = fused_decoder and _fused_path_ok(vae)
         self.mesh = mesh
         if num_warmup_steps is None:
             num_warmup_steps = max(1, int(0.1 * num_training_steps))  # _utils.py:96-106
@@ -161,11 +253,18 @@ class VAETask:
 
     # -- steps -----------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        # fused path: canonical 1-D genes (lean batch) + eligible architecture
+        use_fused = (
+            self.fused_decoder and COUNTS not in batch and C_SUB in batch
+        )
         batch = self._materialize(batch)
         rng, rng_d = jax.random.split(state.rng)
 
         def loss_fn(params):
-            out, _ = self._apply(params, batch, train=True, rng=rng_d)
+            if use_fused:
+                out, _ = fused_nb_apply(self.vae, params, batch, train=True, rng=rng_d)
+            else:
+                out, _ = self._apply(params, batch, train=True, rng=rng_d)
             loss = vae_loss(batch[COUNTS], out, self.gaussian_head)
             aux = {"llh": loss}
             if "theta" in out:
