@@ -275,9 +275,13 @@ class Block(nn.Module):
             (shift_attn, scale_attn, gate_attn, shift_mlp, scale_mlp, gate_mlp) = jnp.split(
                 mod, 6, axis=-1
             )
-            h = modulate(ln("ln_1")(x), shift_attn, scale_attn)
+            # reference quirk (layers.py:146-153): modulate() is called with
+            # swapped arguments — the chunk NAMED shift multiplies and the one
+            # named scale shifts. Preserved for checkpoint-import parity
+            # (pinned by tests/test_torch_parity_ldm.py).
+            h = modulate(ln("ln_1")(x), scale_attn, shift_attn)
             x = x + gate_attn * attn(h, deterministic=deterministic)
-            h = modulate(ln("ln_2")(x), shift_mlp, scale_mlp)
+            h = modulate(ln("ln_2")(x), scale_mlp, shift_mlp)
             x = x + gate_mlp * mlp(h)
         else:
             x = x + attn(ln("ln_1")(x), deterministic=deterministic)
@@ -355,10 +359,11 @@ class CrossAttentionBlock(nn.Module):
                 kernel_init=nn.initializers.zeros,
             )(nn.silu(condition))
             shift_q, scale_q = jnp.split(mod_q, 2, axis=-1)
-            h_x = modulate(ln("ln_1")(x), shift_attn, scale_attn)
-            h_q = modulate(ln("ln_1q")(q), shift_q, scale_q)
+            # same swapped-argument quirk as Block (reference layers.py:48-56)
+            h_x = modulate(ln("ln_1")(x), scale_attn, shift_attn)
+            h_q = modulate(ln("ln_1q")(q), scale_q, shift_q)
             out = q + gate_attn * attn(h_x, h_q, deterministic=deterministic)
-            out = out + gate_mlp * mlp(modulate(ln("ln_2")(out), shift_mlp, scale_mlp))
+            out = out + gate_mlp * mlp(modulate(ln("ln_2")(out), scale_mlp, shift_mlp))
         else:
             y = attn(ln("ln_1")(x), ln("ln_1q")(q), deterministic=deterministic)
             out = (q[None] if q.ndim == 2 else q) + y

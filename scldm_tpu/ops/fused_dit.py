@@ -49,7 +49,10 @@ def _block_math(x, c, weights, n_head: int, eps: float):
     c = c.astype(jnp.float32)
 
     mod = jax.nn.silu(c) @ wada + bada
-    shift_a, scale_a, gate_a, shift_m, scale_m, gate_m = jnp.split(mod, 6, axis=-1)
+    # chunk roles follow the reference's swapped-modulate quirk (its
+    # layers.py:146-153, preserved in nn/layers.py::Block): chunk 0 multiplies,
+    # chunk 1 shifts.
+    scale_a, shift_a, gate_a, scale_m, shift_m, gate_m = jnp.split(mod, 6, axis=-1)
 
     # -- attention branch ---------------------------------------------------
     h = _ln(x, eps) * (1.0 + scale_a[:, None, :]) + shift_a[:, None, :]
