@@ -106,18 +106,21 @@ class Encoder(nn.Module):
         return self.n_inducing_points
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = CrossAttentionBlock(
-            n_embed=self.n_embed,
-            n_inducing_points=self.n_inducing_points,
-            n_head=self.n_head_cross,
-            dropout=self.dropout,
-            bias=self.bias,
-            multiple_of=self.multiple_of,
-            layernorm_eps=self.layernorm_eps,
-            dtype=self.dtype,
-            name="ca_layer",
-        )(x, deterministic=not train)
+    def __call__(self, x: jax.Array, train: bool = False, skip_pool: bool = False) -> jax.Array:
+        if not skip_pool:
+            x = CrossAttentionBlock(
+                n_embed=self.n_embed,
+                n_inducing_points=self.n_inducing_points,
+                n_head=self.n_head_cross,
+                dropout=self.dropout,
+                bias=self.bias,
+                multiple_of=self.multiple_of,
+                layernorm_eps=self.layernorm_eps,
+                dtype=self.dtype,
+                name="ca_layer",
+            )(x, deterministic=not train)
+        # skip_pool: x is the already-pooled (B, M, E) MCAB output — the fused
+        # encoder-pooling kernel (ops/fused_encoder.py) computed ca_layer
 
         if self.positional_encoding:
             pos = self.param(

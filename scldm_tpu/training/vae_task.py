@@ -38,6 +38,80 @@ def _ln_affine(x: jax.Array, tree: Dict, eps: float) -> jax.Array:
     return (x - m) * jax.lax.rsqrt(v + eps) * tree["scale"] + tree["bias"]
 
 
+def fused_encoder_pooling(
+    vae: TransformerVAE,
+    params,
+    counts_dense: jax.Array,  # (B, G) — data (no gradient)
+    window_len: int,  # genes_seq_len S of the packed token window
+    interpret: bool = False,
+) -> jax.Array:
+    """Gather-free MCAB pooling over the dense gene axis -> (B, M, E).
+
+    Computes input-embedding + ca_layer of the Encoder (nnets.py:81-144) via
+    the flash-style Pallas kernel in ops/fused_encoder.py, plus the exact
+    zero-row window correction (see that module's docstring). Only valid for
+    the log1p count transform (zero count -> exactly zero embedding)."""
+    from scldm_tpu.ops.fused_encoder import build_query_operand, fused_encoder_pool
+
+    p = params["params"]
+    enc = p["encoder"]
+    ca = enc["ca_layer"]
+    eps = vae.encoder.layernorm_eps
+    n_head = vae.encoder.n_head_cross
+    E = vae.encoder.n_embed
+    hd = E // n_head
+    scale = 1.0 / (hd**0.5)
+    bf = jnp.bfloat16
+    B, G = counts_dense.shape
+    block_g = 1024
+    g_padded = G + ((-G) % min(block_g, G))
+
+    table = p["input_layer"]["gene_embedding"]["embedding"][1:].astype(jnp.float32)
+    inducing = ca["inducing_points"].astype(jnp.float32)  # (Q, E)
+    qn = _ln_affine(inducing, ca["ln_1q"]["LayerNorm_0"], eps)
+    qp = qn @ ca["attn"]["c_attn_q"]["kernel"]
+    qfull = build_query_operand(qp, n_head)  # (QH, E)
+    wk, wv = jnp.split(ca["attn"]["c_attn"]["kernel"], 2, axis=-1)
+    ln1 = ca["ln_1"]["LayerNorm_0"]
+    weights = (ln1["scale"].reshape(1, E), ln1["bias"].reshape(1, E), wk, wv)
+
+    num, den, m = fused_encoder_pool(
+        counts_dense, table, qfull, weights, scale, eps, block_g, 8, interpret
+    )
+    m = jax.lax.stop_gradient(m)  # shift statistic: analytically grad-free
+
+    # zero-row contribution, replicated with the kernel's exact op sequence:
+    # emb=0 -> ln(0)=bias -> k0/v0 -> s0; the window has (S - nnz) such rows,
+    # the padded dense axis (g_padded - nnz) -> subtract (g_padded - S).
+    x0 = weights[1].astype(jnp.float32)  # (1, E)
+    k0 = jnp.dot(x0.astype(bf), wk.astype(bf), preferred_element_type=jnp.float32)
+    v0 = jnp.dot(x0.astype(bf), wv.astype(bf), preferred_element_type=jnp.float32)
+    s0 = jax.lax.dot_general(
+        k0.astype(bf), qfull.astype(bf), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, QH)
+    e0 = jnp.exp(s0 * scale - m)  # (B, QH)
+    corr = float(g_padded - window_len)
+    den_c = den - corr * e0
+    num_c = num - corr * e0[:, :, None] * v0[None]
+    pooled = num_c / den_c[:, :, None]  # (B, QH, E)
+
+    # per-head outputs live in each head's column block: take the diagonal
+    Q = inducing.shape[0]
+    y = jnp.einsum(
+        "bhqhd->bqhd", pooled.reshape(B, n_head, Q, n_head, hd)
+    ).reshape(B, Q, E)
+    y = y @ ca["attn"]["c_proj"]["kernel"]
+
+    out = inducing[None] + y  # residual connects to the raw queries
+    hn = _ln_affine(out, ca["ln_2"]["LayerNorm_0"], eps)
+    mlp = ca["mlp"]
+    h1 = hn @ mlp["w1"]["kernel"]
+    h2 = hn @ mlp["w2"]["kernel"]
+    out = out + (jax.nn.silu(h1) * h2) @ mlp["c_proj"]["kernel"]
+    return out
+
+
 def fused_nb_apply(
     vae: TransformerVAE,
     params,
@@ -46,13 +120,14 @@ def fused_nb_apply(
     rng: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Tuple[Dict[str, jax.Array], jax.Array]:
-    """VAE forward with the decoder cross block + NB-head logit as one fused
-    Pallas kernel (ops/fused_decoder.py) over the canonical gene list.
+    """VAE forward with (a) the encoder input-embedding + MCAB pooling and
+    (b) the decoder cross block + NB-head logit as fused Pallas kernels
+    (ops/fused_encoder.py, ops/fused_decoder.py) over the canonical gene list.
 
     Matches `TransformerVAE.__call__` + shared-theta NB head on the batch-free
-    gene path: the input layer / encoder / decoder trunk run as flax modules;
-    the (B, G, E)-shaped tail never touches HBM. Differentiable end to end
-    (the kernel carries a custom VJP; the thin prep math here is plain jnp)."""
+    gene path: the encoder trunk / decoder trunk run as flax modules; no
+    (B, G, E)- or (B, S, E)-shaped tensor ever touches HBM. Differentiable end
+    to end (the kernels carry custom VJPs; the thin prep math is plain jnp)."""
     from scldm_tpu.ops.fused_decoder import (
         build_attention_operands,
         fused_decoder_tail,
@@ -60,13 +135,28 @@ def fused_nb_apply(
     )
 
     rngs = {"dropout": rng} if (train and rng is not None) else None
-    emb = vae.apply(
-        params, batch[C_SUB], batch[G_SUB],
-        method=lambda m, c, g: m.input_layer(c, g),
-    )
-    h_z = vae.apply(
-        params, emb, train, method=lambda m, e, tr: m.encoder(e, train=tr), rngs=rngs
-    )
+    if (
+        _fused_encoder_ok(vae)
+        and COUNTS in batch
+        and G_SUB in batch
+        and _dense_pool_worth_it(batch[COUNTS].shape[1], batch[G_SUB].shape[1])
+    ):
+        pooled = fused_encoder_pooling(
+            vae, params, batch[COUNTS], batch[G_SUB].shape[1], interpret=interpret
+        )
+        h_z = vae.apply(
+            params, pooled, train,
+            method=lambda m, e, tr: m.encoder(e, train=tr, skip_pool=True),
+            rngs=rngs,
+        )
+    else:
+        emb = vae.apply(
+            params, batch[C_SUB], batch[G_SUB],
+            method=lambda m, c, g: m.input_layer(c, g),
+        )
+        h_z = vae.apply(
+            params, emb, train, method=lambda m, e, tr: m.encoder(e, train=tr), rngs=rngs
+        )
     x = vae.apply(
         params, h_z, train,
         method=lambda m, z, tr: m.decoder(z, None, train=tr, trunk_only=True),
@@ -118,6 +208,26 @@ def _fused_path_ok(vae: TransformerVAE) -> bool:
         and vae.decoder.dropout == 0.0
         and not vae.decoder.bias  # kernel prep omits qkv/proj biases
     )
+
+
+def _fused_encoder_ok(vae: TransformerVAE) -> bool:
+    """Extra conditions for the gather-free encoder pooling: the zero-row
+    closed form requires embeddings that vanish at count 0 (log1p only)."""
+    return (
+        vae.input_layer.agg_func == "log1p"
+        and vae.encoder.dropout == 0.0
+        and not vae.encoder.bias
+    )
+
+
+def _dense_pool_worth_it(n_genes: int, window_len: int, block_g: int = 1024) -> bool:
+    """The dense-gene pooling does (padded G / S) times the token work of the
+    packed-window path in exchange for eliminating the gather + scatter-add.
+    Measured on v5e at dentate shapes (G=17402, S=6147, ratio 2.8) the dense
+    kernel LOSES (~44 vs 40 ms/step); at parse1m/replogle (G=S=2000) it wins.
+    Gate on the ratio."""
+    g_padded = n_genes + ((-n_genes) % min(block_g, n_genes))
+    return g_padded <= int(1.3 * window_len)
 
 
 def vae_loss(

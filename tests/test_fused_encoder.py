@@ -1,0 +1,152 @@
+"""Equivalence tests for the gather-free fused encoder pooling
+(ops/fused_encoder.py) and its integration into the VAE train path.
+
+The dense-gene formulation is only engaged when the padded gene axis is close
+to the packed window (parse1m/replogle shapes, G = genes_seq_len = 2000 —
+reference experiments/configs/datamodule/default.yaml:84-111); the
+zero-row closed-form correction makes it exact for the log1p transform.
+Interpret mode on CPU; real-TPU execution is exercised by the perf harness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scldm_tpu.nn.vae import build_transformer_vae
+from scldm_tpu.training.vae_task import (
+    VAETask,
+    _dense_pool_worth_it,
+    _fused_encoder_ok,
+    fused_encoder_pooling,
+    fused_nb_apply,
+    vae_loss,
+)
+
+G, B, S = 60, 8, 50  # gate-passing: padded G (60) <= 1.3 * S (65)
+
+
+def _lean_batch(seed=0, g=G, s=S, b=B):
+    rng = np.random.default_rng(seed)
+    gs = np.zeros((b, s), np.int32)
+    cs = np.zeros((b, s), np.float32)
+    for i in range(b):
+        nnz = int(rng.integers(5, s))
+        idx = np.sort(rng.choice(g, nnz, replace=False))
+        gs[i, :nnz] = idx + 1
+        cs[i, :nnz] = rng.poisson(3.0, nnz) + 1
+    return {
+        "genes_subset": jnp.asarray(gs),
+        "counts_subset": jnp.asarray(cs),
+        "library_size": jnp.asarray(cs.sum(1, keepdims=True)),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    vae = build_transformer_vae(n_genes=G)
+    lean = _lean_batch()
+    task = VAETask(vae, num_training_steps=100)
+    state = task.init_state(jax.random.PRNGKey(0), lean)
+    return vae, task, state, task._materialize(lean)
+
+
+def test_gate_shapes():
+    # dentate shapes lose (dense does ~2.8x the token work); parse1m ties win
+    assert not _dense_pool_worth_it(17_002, 6_147)
+    assert _dense_pool_worth_it(2_000, 2_000)
+    assert _dense_pool_worth_it(G, S)
+    assert not _dense_pool_worth_it(G, 20)
+
+
+def test_eligibility():
+    assert _fused_encoder_ok(build_transformer_vae(n_genes=G))
+    assert not _fused_encoder_ok(
+        build_transformer_vae(n_genes=G, agg_func="scaled_log1p")
+    )
+
+
+def test_pooling_matches_module_ca_layer(setup):
+    """Kernel + zero-row correction == input_layer + MCAB pooling over the
+    packed window (the encoder front half, reference nnets.py:81-144)."""
+    vae, task, state, batch = setup
+    pooled_f = jax.jit(
+        lambda p: fused_encoder_pooling(
+            vae, p, batch["counts"], batch["genes_subset"].shape[1], interpret=True
+        )
+    )(state.params)
+
+    def module_encode(p):
+        emb = vae.apply(
+            p, batch["counts_subset"], batch["genes_subset"],
+            method=lambda m, c, g: m.input_layer(c, g),
+        )
+        return vae.apply(p, emb, method=lambda m, e: m.encoder(e, train=False))
+
+    def fused_encode(p):
+        # encoder trunk on the kernel's pooled tokens (skip_pool skips MCAB)
+        return vae.apply(
+            p, pooled_f, method=lambda m, e: m.encoder(e, train=False, skip_pool=True)
+        )
+
+    h_m = jax.jit(module_encode)(state.params)
+    h_f = jax.jit(fused_encode)(state.params)
+    mag = float(jnp.abs(h_m).max())
+    assert float(jnp.abs(h_f - h_m).max()) < 0.01 * mag + 1e-3
+
+
+def test_fused_apply_uses_encoder_kernel_and_matches(setup):
+    vae, task, state, batch = setup
+    out_m, z_m = jax.jit(lambda p: task._apply(p, batch, train=False))(state.params)
+    out_f, z_f = jax.jit(
+        lambda p: fused_nb_apply(vae, p, batch, train=False, interpret=True)
+    )(state.params)
+    zmag = float(jnp.abs(z_m).max())
+    assert float(jnp.abs(z_f - z_m).max()) < 0.02 * zmag
+    mag = float(jnp.abs(out_m["mu"]).max())
+    assert float(jnp.abs(out_m["mu"] - out_f["mu"]).max()) < 0.02 * mag
+
+
+def test_fused_apply_gradients_close(setup):
+    vae, task, state, batch = setup
+
+    def loss_m(p):
+        out, _ = task._apply(p, batch, train=False)
+        return vae_loss(batch["counts"], out, False)
+
+    def loss_f(p):
+        out, _ = fused_nb_apply(vae, p, batch, train=False, interpret=True)
+        return vae_loss(batch["counts"], out, False)
+
+    lm, gm = jax.jit(jax.value_and_grad(loss_m))(state.params)
+    lf, gf = jax.jit(jax.value_and_grad(loss_f))(state.params)
+    assert abs(float(lm) - float(lf)) < 0.01 * abs(float(lm))
+    flat_m = jax.tree_util.tree_flatten_with_path(gm)[0]
+    flat_f = jax.tree_util.tree_flatten(gf)[0]
+    for (path, a), b in zip(flat_m, flat_f):
+        name = "/".join(str(k.key) for k in path)
+        if "decoder_head/params/bias" in name:
+            continue  # softmax-invariant: true gradient is 0, both are noise
+        scale = float(jnp.abs(a).max()) + 1e-4
+        assert float(jnp.abs(b - a).max()) < 0.08 * scale, name
+
+
+def test_train_step_runs_with_fused_encoder():
+    """End-to-end train_steps at gate-passing shapes (interpret-free CPU run
+    uses the non-fused branch on non-TPU backends via fused_decoder gating;
+    here we call fused_nb_apply directly under value_and_grad)."""
+    vae = build_transformer_vae(n_genes=G)
+    lean = _lean_batch(seed=3)
+    task = VAETask(vae, num_training_steps=10)
+    state = task.init_state(jax.random.PRNGKey(1), lean)
+    batch = task._materialize(lean)
+
+    def loss_fn(p):
+        out, _ = fused_nb_apply(vae, p, batch, train=False, interpret=True)
+        return vae_loss(batch["counts"], out, False)
+
+    l0, g = jax.value_and_grad(loss_fn)(state.params)
+    assert np.isfinite(float(l0))
+    gnorm = float(jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.square(x))), g, 0.0
+    ))
+    assert np.isfinite(gnorm) and gnorm > 0
