@@ -165,6 +165,7 @@ def build_vae_task(cfg: Dict, vae: TransformerVAE, max_steps: int, mesh=None) ->
         decay_type=sch.get("decay_type", "sqrt"),
         calculate_grad_norms=tr.get("calculate_grad_norms", False),
         mesh=mesh,
+        fsdp=tr.get("fsdp", False),
     )
 
 
@@ -230,6 +231,7 @@ def build_ldm_task(
         train_vae=bool((cfg["model"].get("vae_as_tokenizer") or {}).get("train", False)),
         calculate_grad_norms=tr.get("calculate_grad_norms", False),
         mesh=mesh,
+        fsdp=tr.get("fsdp", False),
     )
 
 

@@ -133,6 +133,7 @@ class DataModule:
         prefetch: int = 4,
         allow_missing_train: bool = False,
         dense_transfer: bool = True,
+        lean_uint16: bool = True,
     ):
         self.vocabulary_encoder = vocabulary_encoder
         self.train_adata_path = train_adata_path
@@ -155,6 +156,7 @@ class DataModule:
         # False: omit the dense counts/genes from batches ("expressed" only) —
         # the train step rebuilds them on device (ops.transforms.densify_expressed)
         self.dense_transfer = dense_transfer
+        self.lean_uint16 = lean_uint16
 
         self._pool = _ShardPool(max_cache_size)
         self._is_setup = False
@@ -363,13 +365,27 @@ class DataModule:
 
     def _make_lean(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """Drop the dense counts/genes (training stream only): the train step
-        rebuilds them on device from the lossless expressed subsets."""
+        rebuilds them on device from the lossless expressed subsets.
+
+        The surviving subsets travel as uint16 when lossless (gene ids fit for
+        every reference vocabulary, counts clip at 65535 — beyond any real UMI
+        count): host->device bandwidth is the training bottleneck on
+        PCIe-attached and tunneled accelerators, and the wire format halves it.
+        Tasks re-widen on device (vae_task._materialize)."""
         if self.sample_genes == "expressed" and ModelEnum.COUNTS_SUBSET.value in batch:
-            return {
+            out = {
                 k: v
                 for k, v in batch.items()
                 if k not in (ModelEnum.COUNTS.value, ModelEnum.GENES.value)
             }
+            if self.lean_uint16:
+                g = ModelEnum.GENES_SUBSET.value
+                c = ModelEnum.COUNTS_SUBSET.value
+                if g in out and int(self.vocabulary_encoder.n_genes or 1 << 30) < 65_535:
+                    out[g] = out[g].astype(np.uint16)
+                if c in out:
+                    out[c] = np.minimum(out[c], 65_535.0).astype(np.uint16)
+            return out
         return batch
 
     def _iter_specs(

@@ -46,6 +46,22 @@ COUNT_TRANSFORMS = {
 LEARNED_TRANSFORMS = ("proj", "projconcat", "softbin")
 
 
+def widen_lean(batch: dict) -> dict:
+    """Re-widen the uint16 wire format on device (data/datamodule._make_lean):
+    gene-token ids -> int32, counts / library size -> float32. No-op for
+    batches already carrying wide dtypes."""
+    out = dict(batch)
+    for key in ("genes_subset", "genes"):
+        v = out.get(key)
+        if v is not None and v.dtype not in (jnp.int32, jnp.int64):
+            out[key] = v.astype(jnp.int32)
+    for key in ("counts_subset", "counts", "library_size"):
+        v = out.get(key)
+        if v is not None and v.dtype != jnp.float32:
+            out[key] = v.astype(jnp.float32)
+    return out
+
+
 def densify_expressed(
     genes_subset: jax.Array,  # (B, S) gene-token ids, 0 = <MASK> padding
     counts_subset: jax.Array,  # (B, S)

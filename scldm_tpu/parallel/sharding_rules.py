@@ -1,5 +1,6 @@
 """Parameter sharding rules: data-parallel replication + optional Megatron-style
-tensor parallelism over the mesh "model" axis.
+tensor parallelism over the mesh "model" axis + optional FSDP-style parameter /
+optimizer-state sharding over the "data" axis.
 
 The reference only ever does DDP (SURVEY.md §2.6); these rules are the
 TPU-native superset for larger configs (census 270M VAE): annotate parameter
@@ -12,12 +13,20 @@ shardings once and let GSPMD insert the collectives —
 - embeddings: feature dim over "model" (the vocab gather stays local);
 - everything else (layernorms, heads, inducing points): replicated.
 
-With a model axis of size 1 every rule degenerates to replication, so the same
-code path serves pure DP.
+With `fsdp=True` each parameter additionally shards its largest remaining
+(divisible) dim over "data" — the ZeRO-3 layout. Optimizer state created from
+the sharded params inherits the same layout, so Adam moments shrink by the
+data-axis size per chip; GSPMD inserts the all-gather before use and the
+reduce-scatter on the gradients (the XLA-native equivalent of
+torch.distributed FSDP, which the reference never needed at its scales).
+
+With a model axis of size 1 and fsdp off, every rule degenerates to
+replication, so the same code path serves pure DP.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
@@ -29,7 +38,7 @@ _EMBEDDINGS = ("gene_embedding", "theta")
 
 
 def param_pspec(path: Tuple[str, ...]) -> P:
-    """PartitionSpec for one parameter path (tuple of tree keys)."""
+    """Tensor-parallel PartitionSpec for one parameter path (tree-key tuple)."""
     parts = [str(p) for p in path]
     leaf = parts[-1]
     parent = parts[-2] if len(parts) >= 2 else ""
@@ -54,18 +63,35 @@ def param_pspec(path: Tuple[str, ...]) -> P:
     return P()
 
 
-def shard_params(params, mesh: Mesh):
-    """device_put a param pytree with the TP/DP rules over `mesh`."""
+def _fit_spec(spec: P, shape: Tuple[int, ...], mesh: Mesh, fsdp: bool) -> P:
+    """Drop axes that don't divide evenly; optionally add the "data" axis on
+    the largest still-unsharded divisible dim (FSDP)."""
+    model_size = mesh.shape.get("model", 1)
+    axes = list(spec) + [None] * (len(shape) - len(spec))
+    for dim, axis in enumerate(axes):
+        if axis == "model" and shape[dim] % model_size != 0:
+            axes[dim] = None
+    if fsdp:
+        data_size = mesh.shape.get("data", 1)
+        if data_size > 1:
+            free = [d for d in range(len(shape)) if axes[d] is None and shape[d] % data_size == 0]
+            if free:
+                best = max(free, key=lambda d: shape[d])
+                # don't bother sharding tiny leaves (scalars / short biases):
+                # the all-gather latency outweighs the memory win
+                if shape[best] >= data_size and math.prod(shape) >= 1024:
+                    axes[best] = "data"
+    while axes and axes[-1] is None:
+        axes.pop()
+    return P(*axes)
+
+
+def shard_params(params, mesh: Mesh, fsdp: bool = False):
+    """device_put a param pytree with the TP/DP (+ optional FSDP) rules."""
 
     def put(path, leaf):
         keys = tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in path)
-        spec = param_pspec(keys)
-        # drop specs that don't divide evenly (tiny dims) -> replicate
-        axis_size = mesh.shape.get("model", 1)
-        for dim, axis in enumerate(spec):
-            if axis == "model" and leaf.shape[dim] % axis_size != 0:
-                spec = P()
-                break
+        spec = _fit_spec(param_pspec(keys), leaf.shape, mesh, fsdp)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, params)

@@ -69,8 +69,10 @@ class LDMTask:
         calculate_grad_norms: bool = False,
         fused_training: Optional[bool] = None,  # None = auto (TPU & no dropout)
         mesh: Optional[Mesh] = None,
+        fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
     ):
         self.calculate_grad_norms = calculate_grad_norms
+        self.fsdp = fsdp
         if fused_training is None:
             fused_training = jax.default_backend() == "tpu" and dit.dropout == 0.0
         self.fused_training = fused_training and not train_vae
@@ -133,8 +135,8 @@ class LDMTask:
         if self.mesh is not None:
             from scldm_tpu.parallel.sharding_rules import shard_params
 
-            params = shard_params(params, self.mesh)
-            self.vae_params = shard_params(self.vae_params, self.mesh)
+            params = shard_params(params, self.mesh, fsdp=self.fsdp)
+            self.vae_params = shard_params(self.vae_params, self.mesh, fsdp=self.fsdp)
         ema_tree = params["dit"]["params"] if self.train_vae else params["params"]
         state = create_train_state(rng, params, self.tx, ema=ema_init(ema_tree))
         if self.mesh is not None:
@@ -148,6 +150,9 @@ class LDMTask:
     def _encode_with(self, vae_params, batch: Dict) -> jax.Array:
         # the encoder only reads the expressed subsets, so lean batches
         # (no dense counts transferred) encode directly
+        from scldm_tpu.ops.transforms import widen_lean
+
+        batch = widen_lean(batch)
         counts = batch.get(COUNTS, batch.get(C_SUB))
         genes = batch.get(GENES, batch.get(G_SUB))
         return self.vae.apply(

@@ -70,6 +70,9 @@ class ScviTask:
         self._eval_step = jax.jit(self._eval_step_impl)
 
     def _materialize(self, batch: Dict) -> Dict:
+        from scldm_tpu.ops.transforms import widen_lean
+
+        batch = widen_lean(batch)
         if COUNTS in batch:
             return batch
         from scldm_tpu.ops.transforms import densify_expressed, full_gene_row

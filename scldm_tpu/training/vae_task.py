@@ -264,8 +264,10 @@ class VAETask:
         calculate_grad_norms: bool = False,
         fused_decoder: Optional[bool] = None,  # None = auto (TPU & eligible arch)
         mesh: Optional[Mesh] = None,
+        fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
     ):
         self.vae = vae
+        self.fsdp = fsdp
         self.calculate_grad_norms = calculate_grad_norms
         self.gaussian_head = isinstance(vae.decoder_head, GaussianTransformerHead)
         if fused_decoder is None:
@@ -321,7 +323,7 @@ class VAETask:
         if self.mesh is not None:
             from scldm_tpu.parallel.sharding_rules import shard_params
 
-            params = shard_params(params, self.mesh)
+            params = shard_params(params, self.mesh, fsdp=self.fsdp)
         state = create_train_state(rng, params, self.tx)
         if self.mesh is not None:
             # non-param leaves (rng, step) replicate; opt state follows params
@@ -333,7 +335,11 @@ class VAETask:
 
     def _materialize(self, batch: Dict) -> Dict:
         """Rebuild dense counts / full gene ids on device when the loader sent
-        only the expressed subsets (ops.transforms.densify_expressed)."""
+        only the expressed subsets (ops.transforms.densify_expressed); widens
+        the uint16 wire format first."""
+        from scldm_tpu.ops.transforms import widen_lean
+
+        batch = widen_lean(batch)
         if COUNTS in batch:
             return batch
         from scldm_tpu.ops.transforms import canonical_gene_ids, densify_expressed
@@ -451,6 +457,9 @@ class VAETask:
         # same fallback convention as _apply: prefer the packed subsets, fall
         # back to full-length counts/genes — and accept lean batches that
         # carry ONLY subsets (no dense counts at all)
+        from scldm_tpu.ops.transforms import widen_lean
+
+        batch = widen_lean(batch)
         counts = batch.get(C_SUB, batch.get(COUNTS))
         genes = batch.get(G_SUB, batch.get(GENES))
         if counts is None or genes is None:

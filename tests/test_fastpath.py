@@ -109,3 +109,38 @@ def test_datamodule_csr_fastpath_matches_dense(tmp_path, rng):
     for bs, bd in zip(batches("sparse.h5ad"), batches("dense.h5ad")):
         for k in bs:
             np.testing.assert_allclose(np.asarray(bs[k]), np.asarray(bd[k]), err_msg=k)
+
+
+def test_lean_uint16_wire_format_roundtrips(tmp_path, rng):
+    """Lean training batches travel as uint16 (halved host->device traffic);
+    widen_lean + densify_expressed recover the exact dense counts."""
+    import jax.numpy as jnp
+
+    from scldm_tpu.ops.transforms import densify_expressed, widen_lean
+
+    n, g = 32, 40
+    X = _csr(rng, n, g)
+    write_h5ad(tmp_path / "sparse.h5ad", X, obs={"clusters": rng.choice(["a", "b"], n)},
+               var_names=[f"g{i}" for i in range(g)])
+    payload = {"genes": [f"g{i}" for i in range(g)], "labels": {"clusters": ["a", "b"]}}
+    (tmp_path / "meta.json").write_text(json.dumps(payload))
+    enc = VocabularyEncoder(class_vocab_sizes={"clusters": 2}, n_genes=g,
+                            metadata_json=str(tmp_path / "meta.json"))
+    dm = DataModule(
+        vocabulary_encoder=enc, train_adata_path=str(tmp_path / "sparse.h5ad"),
+        batch_size=16, genes_seq_len=g, sample_genes="expressed",
+        prefetch=0, val_as_test=True, shuffle=False, dense_transfer=False,
+    )
+    dm.setup()
+    lean = next(iter(dm.train_batches(0)))
+    assert lean["genes_subset"].dtype == np.uint16
+    assert lean["counts_subset"].dtype == np.uint16
+    assert "counts" not in lean
+
+    wide = widen_lean({k: jnp.asarray(v) for k, v in lean.items()})
+    assert wide["genes_subset"].dtype == jnp.int32
+    assert wide["counts_subset"].dtype == jnp.float32
+    dense = densify_expressed(wide["genes_subset"], wide["counts_subset"], g)
+    np.testing.assert_allclose(
+        np.asarray(dense), X.toarray()[: dense.shape[0]], err_msg="dense roundtrip"
+    )

@@ -259,6 +259,44 @@ class TestVAETask:
         _, m_tp = task_tp.train_step(state_tp, sharded)
         assert float(m1["train_loss"]) == pytest.approx(float(m_tp["train_loss"]), rel=1e-4)
 
+    def test_fsdp_parity_and_layout(self):
+        """ZeRO-3 layout (params + Adam moments sharded over "data", GSPMD
+        all-gather/reduce-scatter) reproduces the replicated-DP loss. The
+        model is sized so several leaves pass the FSDP size threshold."""
+        vae = build_transformer_vae(
+            n_genes=N_GENES, n_embed=64, n_embed_latent=16, n_layer=1,
+            n_inducing_points=4, n_head=4, n_head_cross=4,
+        )
+        batch = make_batch(jax.random.PRNGKey(0))
+        base = VAETask(vae, num_training_steps=100, mesh=None)
+        s1 = base.init_state(jax.random.PRNGKey(1), batch)
+        for _ in range(2):
+            s1, m1 = base.train_step(s1, batch)
+
+        mesh = make_mesh()
+        task_f = VAETask(vae, num_training_steps=100, mesh=mesh, fsdp=True)
+        s8 = task_f.init_state(jax.random.PRNGKey(1), batch)
+
+        def specs(tree):
+            return {
+                "/".join(str(getattr(k, "key", k)) for k in path): str(
+                    getattr(leaf.sharding, "spec", leaf.sharding)
+                )
+                for path, leaf in jax.tree_util.tree_leaves_with_path(tree)
+                if hasattr(leaf, "sharding")
+            }
+
+        p_specs = specs(s8.params)
+        assert any("data" in str(s) for s in p_specs.values()), p_specs
+        # optimizer moments inherit the param layout (the ZeRO memory win)
+        o_specs = specs(s8.opt_state)
+        assert any("data" in str(s) for s in o_specs.values()), o_specs
+
+        sharded = shard_batch(batch, mesh)
+        for _ in range(2):
+            s8, m8 = task_f.train_step(s8, sharded)
+        assert float(m1["train_loss"]) == pytest.approx(float(m8["train_loss"]), rel=1e-4)
+
 
 # ---------------------------------------------------------------------------
 # LDM task end-to-end
