@@ -196,7 +196,11 @@ def fused_nb_apply(
 
 
 def _fused_path_ok(vae: TransformerVAE) -> bool:
-    """Static conditions under which fused_nb_apply matches the module path."""
+    """Static conditions under which fused_nb_apply matches the module path
+    and the kernel's tile sizes fit VMEM. The kernel exists to fuse the
+    tiny-E (B,G,E) chain XLA would round-trip through HBM; at census width
+    (E=512) its weight tiles alone exceed scoped VMEM and XLA's native
+    MXU-shaped matmuls are the right path anyway."""
     from scldm_tpu.nn.heads import NegativeBinomialTransformerHead
 
     head = vae.decoder_head
@@ -207,6 +211,7 @@ def _fused_path_ok(vae: TransformerVAE) -> bool:
         and not vae.decoder.use_adaln
         and vae.decoder.dropout == 0.0
         and not vae.decoder.bias  # kernel prep omits qkv/proj biases
+        and vae.decoder.n_embed <= 128
     )
 
 
