@@ -296,6 +296,239 @@ def _fused_bwd(scale, eps, block_g, block_b, interpret, res, cts):
 fused_encoder_pool.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# window-input variant: flash pooling over the PACKED token window
+# ---------------------------------------------------------------------------
+#
+# Same math as the dense kernel minus the embedding construction and the
+# zero-row correction: the input is the already-gathered (B, S, E) embedding
+# window (input_layer output), and padding rows are processed as real tokens —
+# exactly what the module MCAB does (it applies no mask; reference
+# layers.py:267-333). This is the default-config consumer of the flash
+# machinery: the encoder pooling is (q=16, kv=S≈6k), below the standalone
+# flash kernel's q-length floor, but fusing LN + k/v projection + streaming
+# softmax here beats XLA's materialized attention chain.
+
+
+def _wtile_fold(emb, qfull, weights, eps: float, scale: float):
+    """Scaled scores + values for one (batch-tile, token-tile), batch-folded:
+
+    emb (bt, st, E) -> (s (bt, st, QH) scaled scores, v (bt, st, E))"""
+    ln1g, ln1b, wk, wv = weights
+    bf = jnp.bfloat16
+    bt, st, E = emb.shape
+    x = emb.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    x = x * ln1g.astype(jnp.float32).reshape(1, 1, E) + ln1b.astype(
+        jnp.float32
+    ).reshape(1, 1, E)
+    x2 = x.reshape(bt * st, E)
+    k = jnp.dot(x2.astype(bf), wk.astype(bf), preferred_element_type=jnp.float32)
+    v = jnp.dot(x2.astype(bf), wv.astype(bf), preferred_element_type=jnp.float32)
+    s = jax.lax.dot_general(
+        k.astype(bf), qfull.astype(bf), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return s.reshape(bt, st, -1) * scale, v.reshape(bt, st, E)
+
+
+def _wfwd_kernel(
+    emb_ref, qfull_ref, ln1g_ref, ln1b_ref, wk_ref, wv_ref,
+    m_ref, den_ref, num_ref,
+    *, eps, scale, bt,
+):
+    si = pl.program_id(1)
+    weights = (ln1g_ref[...], ln1b_ref[...], wk_ref[...], wv_ref[...])
+    bf = jnp.bfloat16
+
+    @pl.when(si == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        den_ref[...] = jnp.zeros_like(den_ref)
+        num_ref[...] = jnp.zeros_like(num_ref)
+
+    s, v = _wtile_fold(emb_ref[...], qfull_ref[...], weights, eps, scale)
+    for b in range(bt):
+        sb = s[b]
+        m_old = m_ref[b]
+        m_new = jnp.maximum(m_old, jnp.max(sb, axis=0))
+        e = jnp.exp(sb - m_new[None, :])
+        den = jnp.sum(e, axis=0)
+        num = jax.lax.dot_general(
+            e.astype(bf), v[b].astype(bf), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        alpha = jnp.exp(m_old - m_new)
+        den_ref[b] = den_ref[b] * alpha + den
+        num_ref[b] = num_ref[b] * alpha[:, None] + num
+        m_ref[b] = m_new
+
+
+def _wbwd_kernel(
+    emb_ref, qfull_ref, ln1g_ref, ln1b_ref, wk_ref, wv_ref,
+    m_ref, dnum_ref, dden_ref,
+    demb_ref, dqfull_ref, dln1g_ref, dln1b_ref, dwk_ref, dwv_ref,
+    *, eps, scale, bt,
+):
+    si, bi = pl.program_id(0), pl.program_id(1)
+    weights = tuple(
+        r[...].astype(jnp.float32) for r in (ln1g_ref, ln1b_ref, wk_ref, wv_ref)
+    )
+    qfull = qfull_ref[...].astype(jnp.float32)
+    bf = jnp.bfloat16
+
+    def f(emb, qfull, *ws):
+        s, v = _wtile_fold(emb, qfull, ws, eps, scale)
+        nums, dens = [], []
+        for b in range(bt):
+            e = jnp.exp(s[b] - m_ref[b][None, :])
+            dens.append(jnp.sum(e, axis=0))
+            nums.append(
+                jax.lax.dot_general(
+                    e.astype(bf), v[b].astype(bf), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        return jnp.stack(nums), jnp.stack(dens)
+
+    _, vjp = jax.vjp(f, emb_ref[...].astype(jnp.float32), qfull, *weights)
+    demb, dqfull, dln1g, dln1b, dwk, dwv = vjp(
+        (dnum_ref[...].astype(jnp.float32), dden_ref[...].astype(jnp.float32))
+    )
+
+    demb_ref[...] = demb.astype(demb_ref.dtype)  # each (s, b) block visited once
+    first_all = jnp.logical_and(si == 0, bi == 0)
+
+    def accum(ref, g):
+        @pl.when(first_all)
+        def _():
+            ref[...] = g.astype(ref.dtype)
+
+        @pl.when(jnp.logical_not(first_all))
+        def _():
+            ref[...] = ref[...] + g.astype(ref.dtype)
+
+    for ref, g in zip(
+        (dqfull_ref, dln1g_ref, dln1b_ref, dwk_ref, dwv_ref),
+        (dqfull, dln1g, dln1b, dwk, dwv),
+    ):
+        accum(ref, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_window_pool(
+    emb: jax.Array,  # (B, S, E) gathered token embeddings (input_layer output)
+    qfull: jax.Array,  # (Q*H, E) block-diagonal per-head projected queries
+    weights: Tuple[jax.Array, ...],  # (ln1g (1,E), ln1b (1,E), wk (E,E), wv (E,E))
+    scale: float,
+    eps: float = 1e-8,
+    block_s: int = 1024,
+    block_b: int = 8,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Flash pooling over the packed window -> (num (B,QH,E), den (B,QH), m).
+
+    Window padding rows inside S are processed as real tokens (the module
+    path applies no mask — reference layers.py:267-333). The caller subtracts
+    only the KERNEL's own (ceil(S/bs)*bs - S) zero-emb pad rows via the same
+    closed-form correction as the dense variant, then divides num/den."""
+    return _wfwd(emb, qfull, weights, scale, eps, block_s, block_b, interpret)
+
+
+def _wfwd(emb, qfull, weights, scale, eps, block_s, block_b, interpret):
+    B, S, E = emb.shape
+    QH = qfull.shape[0]
+    bs, bb = min(block_s, S), min(block_b, B)
+    # kernel-pad token rows are exactly-zero embeddings; like the dense
+    # variant, the caller subtracts their (Sp - S) closed-form contributions
+    # (window padding rows inside S are REAL tokens here — the module path
+    # processes them too, unmasked)
+    emb_p = _pad_axis(_pad_axis(emb, 1, bs), 0, bb)
+    Bp, Sp = emb_p.shape[0], emb_p.shape[1]
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, s: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_wfwd_kernel, eps=eps, scale=scale, bt=bb),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, QH), jnp.float32),  # m
+            jax.ShapeDtypeStruct((Bp, QH), jnp.float32),  # den
+            jax.ShapeDtypeStruct((Bp, QH, E), jnp.float32),  # num
+        ),
+        grid=(Bp // bb, Sp // bs),  # batch outer: m/den/num revisited over s
+        in_specs=[
+            pl.BlockSpec((bb, bs, E), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            full(qfull),
+            *[full(w) for w in weights],
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, QH), lambda b, s: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, QH), lambda b, s: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, QH, E), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(emb_p, qfull, *weights)
+    m, den, num = outs
+    return num[:B], den[:B], m[:B]
+
+
+def _wfused_fwd(emb, qfull, weights, scale, eps, block_s, block_b, interpret):
+    out = _wfwd(emb, qfull, weights, scale, eps, block_s, block_b, interpret)
+    return out, (emb, qfull, weights, out[2])
+
+
+def _wfused_bwd(scale, eps, block_s, block_b, interpret, res, cts):
+    emb, qfull, weights, m = res
+    dnum, dden, _dm = cts
+    B, S, E = emb.shape
+    QH = qfull.shape[0]
+    bs, bb = min(block_s, S), min(block_b, B)
+    emb_p = _pad_axis(_pad_axis(emb, 1, bs), 0, bb)
+    m_p = _pad_axis(m, 0, bb)
+    dnum_p = _pad_axis(dnum, 0, bb)
+    dden_p = _pad_axis(dden, 0, bb)
+    Bp, Sp = emb_p.shape[0], emb_p.shape[1]
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda s, b: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((Bp, Sp, E), jnp.float32),  # demb
+        jax.ShapeDtypeStruct((QH, E), jnp.float32),  # dqfull
+        *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_wbwd_kernel, eps=eps, scale=scale, bt=bb),
+        out_shape=out_shapes,
+        grid=(Sp // bs, Bp // bb),
+        in_specs=[
+            pl.BlockSpec((bb, bs, E), lambda s, b: (b, s, 0), memory_space=pltpu.VMEM),
+            full(qfull),
+            *[full(w) for w in weights],
+            pl.BlockSpec((bb, QH), lambda s, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, QH, E), lambda s, b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, QH), lambda s, b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, bs, E), lambda s, b: (b, s, 0), memory_space=pltpu.VMEM),
+            full(qfull),
+            *[full(w) for w in weights],
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(emb_p, qfull, *weights, m_p, dnum_p, dden_p)
+    demb, dqfull, *dws = outs
+    dweights = tuple(g.astype(w.dtype) for g, w in zip(dws, weights))
+    return (
+        demb[:B, :S].astype(emb.dtype),
+        dqfull.astype(qfull.dtype),
+        dweights,
+    )
+
+
+fused_window_pool.defvjp(_wfused_fwd, _wfused_bwd)
+
+
 def build_query_operand(q16: jax.Array, n_head: int) -> jax.Array:
     """qfull (Q·H, E): row (h·Q + i) holds query i's head-h slice in head h's
     column block (zeros elsewhere) — all heads' scores in one K=E matmul."""

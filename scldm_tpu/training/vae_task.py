@@ -38,35 +38,17 @@ def _ln_affine(x: jax.Array, tree: Dict, eps: float) -> jax.Array:
     return (x - m) * jax.lax.rsqrt(v + eps) * tree["scale"] + tree["bias"]
 
 
-def fused_encoder_pooling(
-    vae: TransformerVAE,
-    params,
-    counts_dense: jax.Array,  # (B, G) — data (no gradient)
-    window_len: int,  # genes_seq_len S of the packed token window
-    interpret: bool = False,
-) -> jax.Array:
-    """Gather-free MCAB pooling over the dense gene axis -> (B, M, E).
-
-    Computes input-embedding + ca_layer of the Encoder (nnets.py:81-144) via
-    the flash-style Pallas kernel in ops/fused_encoder.py, plus the exact
-    zero-row window correction (see that module's docstring). Only valid for
-    the log1p count transform (zero count -> exactly zero embedding)."""
-    from scldm_tpu.ops.fused_encoder import build_query_operand, fused_encoder_pool
+def _mcab_prep(vae: TransformerVAE, params):
+    """Shared operands for the fused pooling kernels: block-diagonal query
+    operand, LN1 affine + k/v projection weights, geometry."""
+    from scldm_tpu.ops.fused_encoder import build_query_operand
 
     p = params["params"]
-    enc = p["encoder"]
-    ca = enc["ca_layer"]
+    ca = p["encoder"]["ca_layer"]
     eps = vae.encoder.layernorm_eps
     n_head = vae.encoder.n_head_cross
     E = vae.encoder.n_embed
-    hd = E // n_head
-    scale = 1.0 / (hd**0.5)
-    bf = jnp.bfloat16
-    B, G = counts_dense.shape
-    block_g = 1024
-    g_padded = G + ((-G) % min(block_g, G))
-
-    table = p["input_layer"]["gene_embedding"]["embedding"][1:].astype(jnp.float32)
+    scale = 1.0 / ((E // n_head) ** 0.5)
     inducing = ca["inducing_points"].astype(jnp.float32)  # (Q, E)
     qn = _ln_affine(inducing, ca["ln_1q"]["LayerNorm_0"], eps)
     qp = qn @ ca["attn"]["c_attn_q"]["kernel"]
@@ -74,27 +56,33 @@ def fused_encoder_pooling(
     wk, wv = jnp.split(ca["attn"]["c_attn"]["kernel"], 2, axis=-1)
     ln1 = ca["ln_1"]["LayerNorm_0"]
     weights = (ln1["scale"].reshape(1, E), ln1["bias"].reshape(1, E), wk, wv)
+    return ca, inducing, qfull, weights, scale, eps, n_head
 
-    num, den, m = fused_encoder_pool(
-        counts_dense, table, qfull, weights, scale, eps, block_g, 8, interpret
-    )
-    m = jax.lax.stop_gradient(m)  # shift statistic: analytically grad-free
 
-    # zero-row contribution, replicated with the kernel's exact op sequence:
-    # emb=0 -> ln(0)=bias -> k0/v0 -> s0; the window has (S - nnz) such rows,
-    # the padded dense axis (g_padded - nnz) -> subtract (g_padded - S).
-    x0 = weights[1].astype(jnp.float32)  # (1, E)
-    k0 = jnp.dot(x0.astype(bf), wk.astype(bf), preferred_element_type=jnp.float32)
-    v0 = jnp.dot(x0.astype(bf), wv.astype(bf), preferred_element_type=jnp.float32)
-    s0 = jax.lax.dot_general(
-        k0.astype(bf), qfull.astype(bf), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (1, QH)
-    e0 = jnp.exp(s0 * scale - m)  # (B, QH)
-    corr = float(g_padded - window_len)
-    den_c = den - corr * e0
-    num_c = num - corr * e0[:, :, None] * v0[None]
-    pooled = num_c / den_c[:, :, None]  # (B, QH, E)
+def _mcab_finish(vae, ca, inducing, qfull, weights, num, den, m, corr, scale, eps):
+    """Zero-row correction + num/den division + c_proj + residual + MLP —
+    the back half of the MCAB pooling shared by both kernel variants."""
+    bf = jnp.bfloat16
+    n_head = vae.encoder.n_head_cross
+    E = vae.encoder.n_embed
+    hd = E // n_head
+    B = num.shape[0]
+    wk, wv = weights[2], weights[3]
+
+    if corr:
+        # zero-row contribution, replicated with the kernel's exact op
+        # sequence: emb=0 -> ln(0)=bias -> k0/v0 -> s0
+        x0 = weights[1].astype(jnp.float32)  # (1, E)
+        k0 = jnp.dot(x0.astype(bf), wk.astype(bf), preferred_element_type=jnp.float32)
+        v0 = jnp.dot(x0.astype(bf), wv.astype(bf), preferred_element_type=jnp.float32)
+        s0 = jax.lax.dot_general(
+            k0.astype(bf), qfull.astype(bf), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, QH)
+        e0 = jnp.exp(s0 * scale - m)  # (B, QH)
+        den = den - float(corr) * e0
+        num = num - float(corr) * e0[:, :, None] * v0[None]
+    pooled = num / den[:, :, None]  # (B, QH, E)
 
     # per-head outputs live in each head's column block: take the diagonal
     Q = inducing.shape[0]
@@ -108,8 +96,72 @@ def fused_encoder_pooling(
     mlp = ca["mlp"]
     h1 = hn @ mlp["w1"]["kernel"]
     h2 = hn @ mlp["w2"]["kernel"]
-    out = out + (jax.nn.silu(h1) * h2) @ mlp["c_proj"]["kernel"]
-    return out
+    return out + (jax.nn.silu(h1) * h2) @ mlp["c_proj"]["kernel"]
+
+
+def fused_encoder_pooling(
+    vae: TransformerVAE,
+    params,
+    counts_dense: jax.Array,  # (B, G) — data (no gradient)
+    window_len: int,  # genes_seq_len S of the packed token window
+    interpret: bool = False,
+) -> jax.Array:
+    """Gather-free MCAB pooling over the dense gene axis -> (B, M, E).
+
+    Computes input-embedding + ca_layer of the Encoder (nnets.py:81-144) via
+    the flash-style Pallas kernel in ops/fused_encoder.py, plus the exact
+    zero-row window correction (see that module's docstring). Only valid for
+    the log1p count transform (zero count -> exactly zero embedding)."""
+    from scldm_tpu.ops.fused_encoder import fused_encoder_pool
+
+    ca, inducing, qfull, weights, scale, eps, n_head = _mcab_prep(vae, params)
+    p = params["params"]
+    table = p["input_layer"]["gene_embedding"]["embedding"][1:].astype(jnp.float32)
+    B, G = counts_dense.shape
+    block_g = 1024
+    g_padded = G + ((-G) % min(block_g, G))
+
+    num, den, m = fused_encoder_pool(
+        counts_dense, table, qfull, weights, scale, eps, block_g, 8, interpret
+    )
+    m = jax.lax.stop_gradient(m)  # shift statistic: analytically grad-free
+    # the window has (S - nnz) zero rows, the padded dense axis (g_padded -
+    # nnz) -> subtract (g_padded - S)
+    return _mcab_finish(
+        vae, ca, inducing, qfull, weights, num, den, m,
+        g_padded - window_len, scale, eps,
+    )
+
+
+def fused_window_pooling(
+    vae: TransformerVAE,
+    params,
+    emb: jax.Array,  # (B, S, E) input_layer output (gathered token window)
+    interpret: bool = False,
+) -> jax.Array:
+    """MCAB pooling over the packed token window -> (B, M, E) via the flash
+    kernel (ops/fused_encoder.fused_window_pool). Any agg_func: the kernel
+    consumes the embedding, not the counts.
+
+    NOT wired into the default train path: measured 43.3 vs 40.3 ms/step at
+    dentate shapes (B=128, S=6147, E=32) — XLA's saved-activation attention
+    backward beats the recompute VJP when the (B, S, E) tensors fit HBM
+    comfortably. Kept (tested) for long-window configs where they don't."""
+    from scldm_tpu.ops.fused_encoder import fused_window_pool
+
+    ca, inducing, qfull, weights, scale, eps, n_head = _mcab_prep(vae, params)
+    B, S, E = emb.shape
+    block_s = 1024
+    s_padded = S + ((-S) % min(block_s, S))
+
+    num, den, m = fused_window_pool(
+        emb, qfull, weights, scale, eps, block_s, 8, interpret
+    )
+    m = jax.lax.stop_gradient(m)
+    # only the kernel's own (s_padded - S) zero-emb pad rows need removing
+    return _mcab_finish(
+        vae, ca, inducing, qfull, weights, num, den, m, s_padded - S, scale, eps
+    )
 
 
 def fused_nb_apply(
@@ -150,12 +202,17 @@ def fused_nb_apply(
             rngs=rngs,
         )
     else:
+        # NOTE: fused_window_pooling (flash over the packed (B, S, E) window)
+        # measured 43.3 vs 40.3 ms/step here — XLA's saved-activation
+        # attention backward beats the kernel's recompute VJP at these tensor
+        # sizes, so the module path stays the default (see ROADMAP #flash).
         emb = vae.apply(
             params, batch[C_SUB], batch[G_SUB],
             method=lambda m, c, g: m.input_layer(c, g),
         )
         h_z = vae.apply(
-            params, emb, train, method=lambda m, e, tr: m.encoder(e, train=tr), rngs=rngs
+            params, emb, train,
+            method=lambda m, e, tr: m.encoder(e, train=tr), rngs=rngs,
         )
     x = vae.apply(
         params, h_z, train,
@@ -222,6 +279,18 @@ def _fused_encoder_ok(vae: TransformerVAE) -> bool:
         vae.input_layer.agg_func == "log1p"
         and vae.encoder.dropout == 0.0
         and not vae.encoder.bias
+        and vae.encoder.n_embed <= 128  # same VMEM rationale as _fused_path_ok
+    )
+
+
+def _fused_window_ok(vae: TransformerVAE) -> bool:
+    """Window-input pooling (fused_window_pooling) consumes the embedding
+    directly, so any agg_func qualifies; attention must be bias/dropout-free
+    (the kernel prep omits qkv biases) and narrow enough for VMEM tiles."""
+    return (
+        vae.encoder.dropout == 0.0
+        and not vae.encoder.bias
+        and vae.encoder.n_embed <= 128
     )
 
 

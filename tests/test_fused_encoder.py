@@ -130,6 +130,36 @@ def test_fused_apply_gradients_close(setup):
         assert float(jnp.abs(b - a).max()) < 0.08 * scale, name
 
 
+def test_window_pooling_matches_module_at_sparse_shapes():
+    """At S << G (dense gate off) the window-input kernel is the engaged
+    pooling path; its output must match the module encoder within bf16."""
+    from scldm_tpu.training.vae_task import _fused_window_ok, fused_window_pooling
+
+    g, s = 60, 20
+    assert not _dense_pool_worth_it(g, s)
+    vae = build_transformer_vae(n_genes=g)
+    assert _fused_window_ok(vae)
+    lean = _lean_batch(seed=5, g=g, s=s)
+    task = VAETask(vae, num_training_steps=10)
+    state = task.init_state(jax.random.PRNGKey(0), lean)
+
+    emb = vae.apply(
+        state.params, lean["counts_subset"], lean["genes_subset"],
+        method=lambda m, c, gg: m.input_layer(c, gg),
+    )
+    h_m = jax.jit(
+        lambda p: vae.apply(p, emb, method=lambda m, e: m.encoder(e, train=False))
+    )(state.params)
+    h_f = jax.jit(
+        lambda p: vae.apply(
+            p, fused_window_pooling(vae, p, emb, interpret=True),
+            method=lambda m, e: m.encoder(e, train=False, skip_pool=True),
+        )
+    )(state.params)
+    mag = float(jnp.abs(h_m).max())
+    assert float(jnp.abs(h_f - h_m).max()) < 0.02 * mag
+
+
 def test_train_step_runs_with_fused_encoder():
     """End-to-end train_steps at gate-passing shapes (interpret-free CPU run
     uses the non-fused branch on non-TPU backends via fused_decoder gating;
