@@ -163,3 +163,16 @@ def test_vae_only_inference_cli(workspace):
     f = H5ADFile(out[0])
     assert f.n_vars == G
     assert (f.rows(slice(0, f.n_obs)) >= 0).all()
+
+
+def test_census_inference_example(tmp_path):
+    """The documented census OOD flow (reference inference_census.ipynb):
+    symbol->Ensembl mapping, vocabulary filtering, latent + reconstruction
+    inference, h5ad output."""
+    from examples.census_inference import main as census_main
+
+    rc = census_main(["--workdir", str(tmp_path)])
+    assert rc == 0
+    out = H5ADFile(tmp_path / "census_inference.h5ad")
+    assert out.n_obs == 64
+    assert all(str(n).startswith("ENSG") for n in out.var_names[:5])
