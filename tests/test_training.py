@@ -297,6 +297,32 @@ class TestVAETask:
             s8, m8 = task_f.train_step(s8, sharded)
         assert float(m1["train_loss"]) == pytest.approx(float(m8["train_loss"]), rel=1e-4)
 
+    def test_fsdp_composes_with_tp(self):
+        """FSDP over "data" composes with Megatron TP over "model" on a
+        (4, 2) mesh — each parameter carries at most one of each axis."""
+        vae = build_transformer_vae(
+            n_genes=N_GENES, n_embed=64, n_embed_latent=16, n_layer=1,
+            n_inducing_points=4, n_head=4, n_head_cross=4,
+        )
+        batch = make_batch(jax.random.PRNGKey(0))
+        base = VAETask(vae, num_training_steps=100, mesh=None)
+        s1 = base.init_state(jax.random.PRNGKey(1), batch)
+        _, m1 = base.train_step(s1, batch)
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        task_f = VAETask(vae, num_training_steps=100, mesh=mesh, fsdp=True)
+        s8 = task_f.init_state(jax.random.PRNGKey(1), batch)
+        specs = [
+            str(getattr(leaf.sharding, "spec", ""))
+            for leaf in jax.tree_util.tree_leaves(s8.params)
+            if hasattr(leaf, "sharding")
+        ]
+        assert any("data" in s for s in specs)
+        assert any("model" in s for s in specs)
+        assert any("data" in s and "model" in s for s in specs), specs
+        _, m8 = task_f.train_step(s8, shard_batch(batch, mesh))
+        assert float(m1["train_loss"]) == pytest.approx(float(m8["train_loss"]), rel=1e-4)
+
 
 # ---------------------------------------------------------------------------
 # LDM task end-to-end
@@ -327,6 +353,24 @@ def ldm_setup():
 
 
 class TestLDMTask:
+    def test_fsdp_ldm_parity(self, ldm_setup):
+        """LDM task with ZeRO-3 sharding reproduces the replicated loss
+        (DiT params are large enough to shard at E=32 adaLN widths)."""
+        task, init, batch = ldm_setup
+        state = init()
+        state, m1 = task.train_step(state, batch)
+
+        mesh = make_mesh()
+        vae = task.vae
+        task_f = LDMTask(
+            vae, task.vae_params, task.dit, create_transport(),
+            num_training_steps=100, ema_update_after_step=0, ema_update_every=1,
+            mesh=mesh, fsdp=True,
+        )
+        s8 = task_f.init_state(jax.random.PRNGKey(3), batch)
+        s8, m8 = task_f.train_step(s8, shard_batch(batch, mesh))
+        assert float(m1["train_loss"]) == pytest.approx(float(m8["train_loss"]), rel=1e-3)
+
     def test_train_loss_decreases(self, ldm_setup):
         task, init, batch = ldm_setup
         state = init()
