@@ -70,12 +70,23 @@ class LDMTask:
         fused_training: Optional[bool] = None,  # None = auto (TPU & no dropout)
         mesh: Optional[Mesh] = None,
         fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
+        fused_encode: Optional[bool] = None,  # None = auto (TPU, frozen VAE)
     ):
         self.calculate_grad_norms = calculate_grad_norms
         self.fsdp = fsdp
         if fused_training is None:
             fused_training = jax.default_backend() == "tpu" and dit.dropout == 0.0
         self.fused_training = fused_training and not train_vae
+        # frozen-VAE tokenization is forward-only, so the window-pooling
+        # kernel's recompute-backward weakness doesn't apply — but measured
+        # (v5e, dentate shapes) it still LOSES: 12.9 vs 10.7 ms/step, because
+        # XLA fuses the embedding mul into its attention chain while the
+        # kernel forces the (B, S, E) emb + pad copies through HBM. Default
+        # off; the deciding cost is the XLA row-gather either way (ROADMAP).
+        if fused_encode is None:
+            fused_encode = False
+        self.fused_encode = fused_encode and not train_vae
+        self.fused_encode_interpret = False  # tests force interpret mode
         # vae_as_tokenizer.train=true (reference models.py:431-435): the VAE is
         # finetuned jointly — its params ride in the train state and gradients
         # flow through encode
@@ -151,10 +162,24 @@ class LDMTask:
         # the encoder only reads the expressed subsets, so lean batches
         # (no dense counts transferred) encode directly
         from scldm_tpu.ops.transforms import widen_lean
+        from scldm_tpu.training.vae_task import _fused_window_ok, fused_window_pooling
 
         batch = widen_lean(batch)
         counts = batch.get(COUNTS, batch.get(C_SUB))
         genes = batch.get(GENES, batch.get(G_SUB))
+        c_sub = batch.get(C_SUB, counts)
+        g_sub = batch.get(G_SUB, genes)
+        if self.fused_encode and _fused_window_ok(self.vae):
+            emb = self.vae.apply(
+                vae_params, c_sub, g_sub, method=lambda m, c, g: m.input_layer(c, g)
+            )
+            pooled = fused_window_pooling(
+                self.vae, vae_params, emb, interpret=self.fused_encode_interpret
+            )
+            return self.vae.apply(
+                vae_params, pooled,
+                method=lambda m, e: m.encoder(e, train=False, skip_pool=True),
+            )
         return self.vae.apply(
             vae_params,
             counts=counts,

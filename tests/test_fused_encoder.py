@@ -180,3 +180,35 @@ def test_train_step_runs_with_fused_encoder():
         lambda a, x: a + float(jnp.sum(jnp.square(x))), g, 0.0
     ))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_ldm_fused_encode_matches_module():
+    """LDMTask's frozen-VAE tokenization through the window-pooling kernel
+    equals the module encode (the kernel is forward-only there — the LDM
+    step's dominant segment at reference shapes)."""
+    from scldm_tpu.nn.nnets import DiT
+    from scldm_tpu.training.ldm_task import LDMTask
+    from scldm_tpu.transport import create_transport
+
+    g, s = 60, 20
+    vae = build_transformer_vae(n_genes=g)
+    lean = _lean_batch(seed=7, g=g, s=s)
+    vt = VAETask(vae, num_training_steps=10)
+    vs = vt.init_state(jax.random.PRNGKey(0), lean)
+    dit = DiT(
+        n_embed=32, n_embed_input=16, n_layer=1, n_head=4, seq_len=16,
+        class_vocab_sizes={}, cfg_dropout_prob=0.0,
+    )
+
+    def make(fused):
+        t = LDMTask(
+            vae, vs.params, dit, create_transport(),
+            num_training_steps=10, fused_encode=fused,
+        )
+        t.fused_encode_interpret = True
+        return t
+
+    z_mod = jax.jit(lambda b: make(False)._encode(b))(lean)
+    z_fused = jax.jit(lambda b: make(True)._encode(b))(lean)
+    mag = float(jnp.abs(z_mod).max())
+    assert float(jnp.abs(z_fused - z_mod).max()) < 0.02 * mag
