@@ -72,7 +72,26 @@ loss = float(m["train_loss"])
 leaf = jax.tree_util.tree_leaves(state.params)[0]
 # fully-addressable? params are replicated -> every process can read them
 checksum = float(jnp.sum(jnp.abs(leaf)))
-out = {"loss": loss, "checksum": checksum, "pid": pid}
+
+# orbax save + restore with every process writing the SAME shared directory
+# (the multi-host checkpoint contract the round-1 verdict flagged as unproven)
+ckpt_ok = False
+try:
+    from scldm_tpu.training.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(os.environ["CKPT_DIR"], max_to_keep=1)
+    mgr.save(int(state.step), state)  # blocks until finished
+    fresh = task.init_state(jax.random.PRNGKey(9), local)
+    restored, resumed = mgr.maybe_restore(fresh)
+    r_leaf = jax.tree_util.tree_leaves(restored.params)[0]
+    ckpt_ok = bool(resumed) and int(restored.step) == int(state.step) and bool(
+        jnp.allclose(r_leaf, leaf)
+    )
+except Exception as e:
+    ckpt_err = f"{type(e).__name__}: {e}"
+    print("CKPT_FAIL", ckpt_err, flush=True)
+
+out = {"loss": loss, "checksum": checksum, "pid": pid, "ckpt_ok": ckpt_ok}
 Path = __import__("pathlib").Path
 Path(os.environ["OUT_FILE"]).write_text(json.dumps(out))
 print("WORKER_OK", json.dumps(out), flush=True)
@@ -90,6 +109,12 @@ def _free_port():
 def test_two_process_dp_matches_single_process(tmp_path):
     port = _free_port()
     procs, outs = [], []
+    # the multihost guard rejects /tmp (host-local on a real pod); on this
+    # one-machine cluster a repo-local dir plays the shared filesystem
+    ckpt_dir = Path(__file__).parent.parent / ".tmp_mp_ckpt"
+    import shutil
+
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
     for pid in range(2):
         out_file = tmp_path / f"out_{pid}.json"
         outs.append(out_file)
@@ -105,6 +130,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
             JAX_PROCESS_ID=str(pid),
             REPO_ROOT=str(Path(__file__).parent.parent),
             OUT_FILE=str(out_file),
+            CKPT_DIR=str(ckpt_dir),
             JAX_COMPILATION_CACHE_DIR="/tmp/scldm_tpu_pytest_jax_cache_mp",
         )
         procs.append(subprocess.Popen(
@@ -119,6 +145,11 @@ def test_two_process_dp_matches_single_process(tmp_path):
     # both processes observe the same global loss and end in the same state
     assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
     assert results[0]["checksum"] == pytest.approx(results[1]["checksum"], rel=1e-6)
+    # coordinated orbax save + restore succeeded on both processes
+    assert all(r["ckpt_ok"] for r in results), (results, logs[0][-2000:])
+    import shutil as _sh
+
+    _sh.rmtree(ckpt_dir, ignore_errors=True)
 
     # single-process 4-device reference run on the same global batch
     import jax
