@@ -48,7 +48,6 @@ def main():
     from scldm_tpu.nn.vae import build_transformer_vae
     from scldm_tpu.sampling.size_factors import SizeFactorSampler
     from scldm_tpu.training.ldm_task import LDMTask
-    from scldm_tpu.training.metrics import r2_score
     from scldm_tpu.training.vae_task import VAETask
     from scldm_tpu.transport import create_transport
 

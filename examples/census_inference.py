@@ -19,7 +19,6 @@ Run: python -m examples.census_inference  [--workdir /tmp/census_demo]
 from __future__ import annotations
 
 import argparse
-import json
 import os
 from pathlib import Path
 

@@ -24,7 +24,7 @@ from scldm_tpu.nn.nnets import DiT
 from scldm_tpu.nn.vae import TransformerVAE
 from scldm_tpu.ops.distributions import nb_sample
 from scldm_tpu.sampling.size_factors import SizeFactorSampler
-from scldm_tpu.training.ema import EMAState, ema_init, ema_update
+from scldm_tpu.training.ema import ema_init, ema_update
 from scldm_tpu.training.optim import wsd_schedule
 from scldm_tpu.training.state import TrainState, create_train_state
 from scldm_tpu.transport import Sampler, Transport

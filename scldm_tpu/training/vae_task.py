@@ -8,7 +8,6 @@ XLA's psum on the mean-reduced loss/grads is the DDP all-reduce.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -153,7 +153,6 @@ def test_two_process_dp_matches_single_process(tmp_path):
 
     # single-process 4-device reference run on the same global batch
     import jax
-    import jax.numpy as jnp
 
     from scldm_tpu.nn.vae import build_transformer_vae
     from scldm_tpu.parallel.mesh import make_mesh, shard_batch
