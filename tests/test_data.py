@@ -404,3 +404,42 @@ def test_adata_inference_gene_filtering(tmp_path, rng):
     assert (batch["genes"] >= 1).all() and (batch["genes"] <= 20).all()
     # library size computed over the KEPT genes only
     np.testing.assert_allclose(batch["library_size"][:, 0], batch["counts"].sum(1))
+
+
+def test_random_strategy_seeds_deterministic_and_distinct(tmp_path, rng):
+    """ROADMAP hygiene: the `random*` tokenizer strategies must be (a)
+    deterministic within an epoch, (b) re-sampled across epochs, and (c)
+    automatically distinct across hosts (per-spec-index seeding composes with
+    the disjoint h::H spec partition — datamodule._iter_specs)."""
+    _write_dataset(tmp_path, rng, n=64, g=20)
+    enc = VocabularyEncoder(
+        class_vocab_sizes={"clusters": 3}, metadata_json=str(tmp_path / "meta.json")
+    )
+
+    def dm(**kw):
+        d = DataModule(
+            vocabulary_encoder=enc, train_adata_path=str(tmp_path / "train.h5ad"),
+            batch_size=16, genes_seq_len=8, sample_genes="random", prefetch=0,
+            val_fraction=0.0, shuffle=False, **kw,
+        )
+        d.setup()
+        return d
+
+    # (a) same epoch twice -> bitwise-identical gene samples
+    a = [b["genes"] for b in dm().train_batches(0)]
+    b = [b["genes"] for b in dm().train_batches(0)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+    # (b) a different epoch re-samples (the subset differs somewhere)
+    c = [b["genes"] for b in dm().train_batches(1)]
+    assert any((x != y).any() for x, y in zip(a, c))
+
+    # (c) two hosts draw from disjoint spec indices -> different seeds; their
+    # batches never collide even for identical underlying rows
+    h0 = [b["genes"] for b in dm(num_hosts=2, host_index=0).train_batches(0)]
+    h1 = [b["genes"] for b in dm(num_hosts=2, host_index=1).train_batches(0)]
+    assert len(h0) + len(h1) == len(a)
+    flat0 = {x.tobytes() for x in h0}
+    flat1 = {x.tobytes() for x in h1}
+    assert not (flat0 & flat1)
