@@ -106,7 +106,13 @@ class Encoder(nn.Module):
         return self.n_inducing_points
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False, skip_pool: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        skip_pool: bool = False,
+        pool_only: bool = False,
+    ) -> jax.Array:
         if not skip_pool:
             x = CrossAttentionBlock(
                 n_embed=self.n_embed,
@@ -130,6 +136,11 @@ class Encoder(nn.Module):
                 jnp.float32,
             )
             x = x + jax.lax.stop_gradient(pos.astype(x.dtype))
+
+        if pool_only:
+            # the caller runs the block stack + latent proj/LN as one fused
+            # Pallas kernel (scldm_tpu.ops.fused_trunk); x is the pooled tokens
+            return x
 
         block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.n_layer):

@@ -163,6 +163,53 @@ def fused_window_pooling(
     )
 
 
+# fused-trunk kernel tile sizes (env-overridable for ablation sweeps)
+import os as _os
+
+TRUNK_BLOCK_ROWS = int(_os.environ.get("SCLDM_TRUNK_BR", "64"))
+TRUNK_BWD_BLOCK_ROWS = int(_os.environ.get("SCLDM_TRUNK_BBR", "16"))
+
+
+def _ln_noaffine(x: jax.Array, eps: float) -> jax.Array:
+    m = x.mean(-1, keepdims=True)
+    v = jnp.square(x - m).mean(-1, keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + eps)
+
+
+def _encoder_trunk_tail(vae: TransformerVAE, params, pooled, interpret: bool):
+    """Encoder block stack (ONE Pallas kernel, ops/fused_trunk.py) + latent
+    proj + non-affine LN — everything after the MCAB pooling. The zero-init,
+    stop-gradient pos_embed quirk (nn/nnets.py Encoder) is frozen at zeros,
+    so skipping it here is exact."""
+    from scldm_tpu.ops.fused_trunk import extract_trunk_params, fused_trunk_blocks_trainable
+
+    enc = params["params"]["encoder"]
+    eps = vae.encoder.layernorm_eps
+    dt = vae.encoder.dtype
+    kp = extract_trunk_params(enc, vae.encoder.n_layer)
+    h = fused_trunk_blocks_trainable(
+        pooled.astype(dt), kp, vae.encoder.n_head, eps, TRUNK_BLOCK_ROWS, TRUNK_BWD_BLOCK_ROWS, interpret
+    )
+    h = (h @ enc["latent_proj"]["kernel"].astype(dt)).astype(jnp.float32)
+    return _ln_noaffine(h, eps).astype(dt)
+
+
+def _decoder_trunk(vae: TransformerVAE, params, h_z, interpret: bool):
+    """Decoder latent LN + proj + block stack (ONE Pallas kernel) — everything
+    before the cross block; pairs with the fused decoder tail."""
+    from scldm_tpu.ops.fused_trunk import extract_trunk_params, fused_trunk_blocks_trainable
+
+    dec = params["params"]["decoder"]
+    eps = vae.decoder.layernorm_eps
+    dt = vae.decoder.dtype
+    zn = _ln_noaffine(h_z.astype(jnp.float32), eps).astype(dt)
+    x = zn @ dec["latent_proj"]["kernel"].astype(dt)
+    kp = extract_trunk_params(dec, vae.decoder.n_layer)
+    return fused_trunk_blocks_trainable(
+        x, kp, vae.decoder.n_head, eps, TRUNK_BLOCK_ROWS, TRUNK_BWD_BLOCK_ROWS, interpret
+    )
+
+
 def fused_nb_apply(
     vae: TransformerVAE,
     params,
@@ -170,6 +217,7 @@ def fused_nb_apply(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     interpret: bool = False,
+    use_trunk: Optional[bool] = None,  # None = auto when the arch is eligible
 ) -> Tuple[Dict[str, jax.Array], jax.Array]:
     """VAE forward with (a) the encoder input-embedding + MCAB pooling and
     (b) the decoder cross block + NB-head logit as fused Pallas kernels
@@ -186,6 +234,10 @@ def fused_nb_apply(
     )
 
     rngs = {"dropout": rng} if (train and rng is not None) else None
+    if use_trunk is None:
+        use_trunk = _fused_trunk_ok(vae)
+    else:
+        use_trunk = use_trunk and _fused_trunk_ok(vae)
     if (
         _fused_encoder_ok(vae)
         and COUNTS in batch
@@ -195,11 +247,14 @@ def fused_nb_apply(
         pooled = fused_encoder_pooling(
             vae, params, batch[COUNTS], batch[G_SUB].shape[1], interpret=interpret
         )
-        h_z = vae.apply(
-            params, pooled, train,
-            method=lambda m, e, tr: m.encoder(e, train=tr, skip_pool=True),
-            rngs=rngs,
-        )
+        if use_trunk:
+            h_z = _encoder_trunk_tail(vae, params, pooled, interpret)
+        else:
+            h_z = vae.apply(
+                params, pooled, train,
+                method=lambda m, e, tr: m.encoder(e, train=tr, skip_pool=True),
+                rngs=rngs,
+            )
     else:
         # NOTE: fused_window_pooling (flash over the packed (B, S, E) window)
         # measured 43.3 vs 40.3 ms/step here — XLA's saved-activation
@@ -209,15 +264,26 @@ def fused_nb_apply(
             params, batch[C_SUB], batch[G_SUB],
             method=lambda m, c, g: m.input_layer(c, g),
         )
-        h_z = vae.apply(
-            params, emb, train,
-            method=lambda m, e, tr: m.encoder(e, train=tr), rngs=rngs,
+        if use_trunk:
+            pooled = vae.apply(
+                params, emb, train,
+                method=lambda m, e, tr: m.encoder(e, train=tr, pool_only=True),
+                rngs=rngs,
+            )
+            h_z = _encoder_trunk_tail(vae, params, pooled, interpret)
+        else:
+            h_z = vae.apply(
+                params, emb, train,
+                method=lambda m, e, tr: m.encoder(e, train=tr), rngs=rngs,
+            )
+    if use_trunk:
+        x = _decoder_trunk(vae, params, h_z, interpret)
+    else:
+        x = vae.apply(
+            params, h_z, train,
+            method=lambda m, z, tr: m.decoder(z, None, train=tr, trunk_only=True),
+            rngs=rngs,
         )
-    x = vae.apply(
-        params, h_z, train,
-        method=lambda m, z, tr: m.decoder(z, None, train=tr, trunk_only=True),
-        rngs=rngs,
-    )
 
     p = params["params"]
     ca = p["decoder"]["decoder_cross_attention"]
@@ -268,6 +334,24 @@ def _fused_path_ok(vae: TransformerVAE) -> bool:
         and vae.decoder.dropout == 0.0
         and not vae.decoder.bias  # kernel prep omits qkv/proj biases
         and vae.decoder.n_embed <= 128
+    )
+
+
+def _fused_trunk_ok(vae: TransformerVAE) -> bool:
+    """Eligibility for the whole-trunk Pallas kernel on BOTH block stacks:
+    the reference trunk config (bias-free, affine LN, no dropout, non-adaLN)
+    at narrow width, without remat (the kernel's recompute VJP already never
+    materializes residuals)."""
+    from scldm_tpu.ops.fused_trunk import trunk_kernel_ok
+
+    return (
+        trunk_kernel_ok(vae.encoder.n_embed, vae.encoder.bias, vae.encoder.dropout, False)
+        and trunk_kernel_ok(
+            vae.decoder.n_embed, vae.decoder.bias, vae.decoder.dropout,
+            vae.decoder.use_adaln,
+        )
+        and not vae.encoder.remat
+        and not vae.decoder.remat
     )
 
 
@@ -336,6 +420,7 @@ class VAETask:
         decay_type: str = "sqrt",
         calculate_grad_norms: bool = False,
         fused_decoder: Optional[bool] = None,  # None = auto (TPU & eligible arch)
+        fused_trunk: Optional[bool] = None,  # opt-in only (measured loss at reference shapes)
         mesh: Optional[Mesh] = None,
         fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
     ):
@@ -346,6 +431,11 @@ class VAETask:
         if fused_decoder is None:
             fused_decoder = jax.default_backend() == "tpu" and _fused_path_ok(vae)
         self.fused_decoder = fused_decoder and _fused_path_ok(vae)
+        # default OFF: measured 41.6 vs 40.5 ms/step at dentate shapes even
+        # with the single-launch chained backward — XLA's saved-activation
+        # backward wins when (B, 16, 32) activations are this small. Kept as
+        # an opt-in for configs with deeper/narrower trunks (see ROADMAP #1).
+        self.fused_trunk = bool(fused_trunk) and _fused_trunk_ok(vae)
         self.mesh = mesh
         if num_warmup_steps is None:
             num_warmup_steps = max(1, int(0.1 * num_training_steps))  # _utils.py:96-106
@@ -451,7 +541,10 @@ class VAETask:
 
         def loss_fn(params):
             if use_fused:
-                out, _ = fused_nb_apply(self.vae, params, batch, train=True, rng=rng_d)
+                out, _ = fused_nb_apply(
+                    self.vae, params, batch, train=True, rng=rng_d,
+                    use_trunk=self.fused_trunk,
+                )
             else:
                 out, _ = self._apply(params, batch, train=True, rng=rng_d)
             loss = vae_loss(batch[COUNTS], out, self.gaussian_head)
