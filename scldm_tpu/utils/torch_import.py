@@ -147,10 +147,90 @@ def import_torch_state_dict(
     return {"params": new_tree} if has_params_key else new_tree
 
 
-def load_reference_checkpoint(ckpt_path: str, params_template: Dict, strict: bool = True):
-    """Load a released Lightning .ckpt (requires torch) into our param tree."""
+class _Opaque:
+    """Placeholder for classes the checkpoint pickled from modules we don't
+    ship (omegaconf configs, Lightning internals, legacy `scg_vae` names —
+    reference _utils.py:149-183 solves the same problem with a remapping
+    unpickler). Only `state_dict` tensors matter; everything else is allowed
+    to deserialize into an inert shell."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __setstate__(self, state):
+        self.__dict__["_opaque_state"] = state
+
+    def __call__(self, *args, **kwargs):  # classmethod-style reconstructors
+        return _Opaque()
+
+
+class _TolerantPickleModule:
+    """pickle-module shim for `torch.load(pickle_module=...)`: resolves what it
+    can, substitutes `_Opaque` for missing modules/attributes."""
+
+    import pickle as _pickle
+
+    class Unpickler(_pickle.Unpickler):
+        def find_class(self, module, name):
+            import pickle
+
+            try:
+                return pickle.Unpickler.find_class(self, module, name)
+            except (ModuleNotFoundError, AttributeError, ImportError):
+                return _Opaque
+
+    @staticmethod
+    def load(f, **kwargs):
+        return _TolerantPickleModule.Unpickler(f).load()
+
+
+#: state-dict key prefix per checkpoint component (Lightning module attribute
+#: names, reference models.py: `vae_model`, `diffusion_model`, and the
+#: ema-pytorch wrapper `ema_model.ema_model`)
+COMPONENT_PREFIXES = {
+    "vae": "vae_model.",
+    "dit": "diffusion_model.",
+    "dit_ema": "ema_model.ema_model.",
+}
+
+
+def load_reference_checkpoint(
+    ckpt_path: str,
+    params_template: Dict,
+    strict: bool = True,
+    component: str = "auto",
+):
+    """Load a released Lightning `.ckpt` (requires torch) into our param tree.
+
+    component: which sub-model's weights to extract —
+      - "vae" / "dit" / "dit_ema": keep only keys under that module's prefix
+        (reference _utils.py:363-366 does the same `vae_model.` strip). An LDM
+        checkpoint contains all three families; selecting explicitly avoids
+        the auto mode's last-prefix-wins ambiguity between raw and EMA DiT
+        weights.
+      - "auto": strip any known prefix from every key (fine for single-model
+        VAE checkpoints).
+    """
     import torch
 
-    payload = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    try:
+        payload = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    except (ModuleNotFoundError, AttributeError, ImportError):
+        # legacy checkpoints pickle configs referencing renamed/absent modules
+        payload = torch.load(
+            ckpt_path, map_location="cpu", weights_only=False,
+            pickle_module=_TolerantPickleModule,
+        )
     state_dict = payload.get("state_dict", payload)
+    if component != "auto":
+        prefix = COMPONENT_PREFIXES[component]
+        state_dict = {
+            k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)
+        }
+        # guard the EMA buffers that live beside ema_model.ema_model.*
+        if component == "dit_ema":
+            state_dict = {
+                k: v for k, v in state_dict.items()
+                if k not in ("initted", "step")
+            }
     return import_torch_state_dict(state_dict, params_template, strict=strict)
