@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Batch-size scaling study (VERDICT r2 item 7): ms/step and cells/s at
+dentate and parse1m shapes for batch sizes beyond the reference default.
+
+B=128 is the reference's (GPU-memory-shaped) default; a TPU-native deployment
+should pick the batch that maximizes device throughput and rescale LR /
+step counts accordingly (perf numbers only — optimizer equivalence at larger
+batches is the usual LR-scaling caveat, see README).
+
+Run: python -m benchmarks.bench_batch_scaling [--config dentate|parse1m] [--batches 128 256 512]
+Prints one JSON line per point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+SHAPES = {
+    "dentate": dict(n_genes=17_002, seq_len=6_147, nnz=(1_500, 4_000)),
+    "parse1m": dict(n_genes=2_000, seq_len=2_000, nnz=(500, 1_999)),
+}
+
+
+def synth_batch(rng, batch, n_genes, seq_len, nnz_range):
+    import numpy as np
+
+    genes_sub = np.zeros((batch, seq_len), np.uint16)
+    counts_sub = np.zeros((batch, seq_len), np.uint16)
+    for i in range(batch):
+        nnz = int(rng.integers(*nnz_range))
+        idx = np.sort(rng.choice(n_genes, size=nnz, replace=False))
+        genes_sub[i, :nnz] = idx + 1
+        counts_sub[i, :nnz] = rng.poisson(3.0, size=nnz) + 1
+    return {
+        "genes_subset": genes_sub,
+        "counts_subset": counts_sub,
+        "library_size": counts_sub.astype(np.float32).sum(1, keepdims=True),
+    }
+
+
+def run_point(config: str, batch_size: int, steps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scldm_tpu.nn.vae import build_transformer_vae
+    from scldm_tpu.training.vae_task import VAETask
+
+    cfg = SHAPES[config]
+    vae = build_transformer_vae(n_genes=cfg["n_genes"], dtype=jnp.bfloat16)
+    task = VAETask(vae, num_training_steps=10_000)
+    batch = synth_batch(
+        np.random.default_rng(0), batch_size, cfg["n_genes"], cfg["seq_len"], cfg["nnz"]
+    )
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.stack([x] * steps)), batch
+    )
+    state, metrics = task.train_steps(state, stacked)  # compile + warm
+    assert np.isfinite(float(metrics["train_loss"]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, metrics = task.train_steps(state, stacked)
+        _ = float(metrics["train_loss"])  # scalar-fetch sync (tunnel-safe)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return {
+        "config": config,
+        "batch": batch_size,
+        "ms_per_step": round(best * 1e3, 2),
+        "cells_per_sec": round(batch_size / best, 1),
+        "platform": jax.default_backend(),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", nargs="+", default=["dentate", "parse1m"],
+                    choices=list(SHAPES))
+    ap.add_argument("--batches", nargs="+", type=int, default=[128, 256, 512])
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+    for config in args.configs:
+        base = None
+        for b in args.batches:
+            r = run_point(config, b, args.steps)
+            base = base or r["cells_per_sec"]
+            r["throughput_vs_first"] = round(r["cells_per_sec"] / base, 2)
+            print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()

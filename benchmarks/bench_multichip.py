@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Multi-chip scaling benchmark: VAE train throughput (cells/s) across device
+counts — DP over the "data" axis, and optionally DP x TP for the census-width
+config (Megatron rules over "model").
+
+    python -m benchmarks.bench_multichip                 # real devices
+    python -m benchmarks.bench_multichip --virtual 8     # 8 virtual CPU devices
+
+Emits one JSON line per (config, mesh) point:
+    {"config", "mesh": [d, m], "devices", "ms_per_step", "cells_per_sec",
+     "scaling_vs_1dev", "platform"}
+
+NOTE: numbers are only meaningful on real TPU chips with real ICI — the
+`--virtual` mode shares one host CPU across all virtual devices, so its
+"scaling" mostly measures host contention; it exists to validate that every
+mesh point compiles and executes (the BASELINE.md north star "≥5x cells/sec on
+v5e-8" gets its artifact here the day multi-chip hardware is attached).
+Timing uses scalar-fetch sync with K steps per dispatch (see bench.py header
+for why plain block_until_ready is not trusted on tunneled TPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+CONFIGS = {
+    # reference experiments/configs dentate defaults, per-device batch 128
+    "dentate": dict(n_genes=17_002, seq_len=6_147, batch=128, model={}),
+    # census-width MXU config (benchmarks/bench_census.py shapes, smaller seq
+    # so the sweep completes in minutes)
+    "census": dict(
+        n_genes=4_096, seq_len=4_096, batch=32,
+        model=dict(n_embed=512, n_embed_latent=64, n_layer=12,
+                   n_inducing_points=128, n_head=8, n_head_cross=8),
+    ),
+    # CPU-sized config for validating every mesh point without TPU hardware
+    "tiny": dict(
+        n_genes=256, seq_len=96, batch=8,
+        model=dict(n_embed=32, n_embed_latent=16, n_layer=2,
+                   n_inducing_points=8, n_head=4, n_head_cross=4),
+    ),
+}
+
+
+def synth_batch(rng, batch, n_genes, seq_len):
+    import numpy as np
+
+    genes_sub = np.zeros((batch, seq_len), np.uint16)
+    counts_sub = np.zeros((batch, seq_len), np.uint16)
+    for i in range(batch):
+        nnz = int(rng.integers(seq_len // 4, seq_len - 1))
+        idx = np.sort(rng.choice(n_genes, size=nnz, replace=False))
+        genes_sub[i, :nnz] = idx + 1
+        counts_sub[i, :nnz] = rng.poisson(3.0, size=nnz) + 1
+    return {
+        "genes_subset": genes_sub,
+        "counts_subset": counts_sub,
+        "library_size": counts_sub.astype(np.float32).sum(1, keepdims=True),
+    }
+
+
+def run_point(config_name: str, n_data: int, n_model: int, steps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scldm_tpu.nn.vae import build_transformer_vae
+    from scldm_tpu.parallel.mesh import make_mesh, shard_stacked_batch
+    from scldm_tpu.training.vae_task import VAETask
+
+    cfg = CONFIGS[config_name]
+    n_dev = n_data * n_model
+    devices = jax.devices()[:n_dev]
+    mesh = make_mesh(n_data=n_data, n_model=n_model, devices=devices) if n_dev > 1 else None
+
+    vae = build_transformer_vae(
+        n_genes=cfg["n_genes"], dtype=jnp.bfloat16, **cfg["model"]
+    )
+    task = VAETask(vae, num_training_steps=10_000, mesh=mesh)
+    global_batch = cfg["batch"] * n_data  # per-device batch held constant (weak scaling)
+    batch = synth_batch(np.random.default_rng(0), global_batch, cfg["n_genes"], cfg["seq_len"])
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+
+    stacked = jax.tree_util.tree_map(lambda x: np.stack([x] * steps), batch)
+    if mesh is not None:
+        stacked = shard_stacked_batch(stacked, mesh)
+    else:
+        stacked = jax.tree_util.tree_map(jnp.asarray, stacked)
+
+    state, metrics = task.train_steps(state, stacked)  # compile + warm
+    assert np.isfinite(float(metrics["train_loss"]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, metrics = task.train_steps(state, stacked)
+        _ = float(metrics["train_loss"])  # scalar-fetch device sync
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return {
+        "config": config_name,
+        "mesh": [n_data, n_model],
+        "devices": n_dev,
+        "global_batch": global_batch,
+        "ms_per_step": round(best * 1e3, 2),
+        "cells_per_sec": round(global_batch / best, 1),
+        "platform": jax.default_backend(),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="re-exec on N virtual CPU devices (validation mode)")
+    ap.add_argument("--configs", nargs="+", default=["dentate"],
+                    choices=list(CONFIGS), help="which model configs to sweep")  # noqa: E501
+    ap.add_argument("--steps", type=int, default=10, help="steps fused per dispatch")
+    ap.add_argument("--max-devices", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    if args.virtual:
+        import subprocess
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        )
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.virtual}"
+        ).strip()
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from benchmarks.bench_multichip import main; main()"
+        )
+        child = [sys.executable, "-c", code, "--configs", *args.configs,
+                 "--steps", str(args.steps)]
+        if args.max_devices:
+            child += ["--max-devices", str(args.max_devices)]
+        raise SystemExit(subprocess.run(
+            child, env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ).returncode)
+
+    import jax
+
+    n_avail = len(jax.devices())
+    if args.max_devices:
+        n_avail = min(n_avail, args.max_devices)
+    sweep = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail]
+
+    results = []
+    for config in args.configs:
+        base = None
+        for d in sweep:
+            r = run_point(config, n_data=d, n_model=1, steps=args.steps)
+            base = base or r["cells_per_sec"]
+            r["scaling_vs_1dev"] = round(r["cells_per_sec"] / base, 2)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+        # census also exercises DP x TP (Megatron column/row rules over "model")
+        if config == "census" and n_avail >= 4:
+            r = run_point(config, n_data=n_avail // 2, n_model=2, steps=args.steps)
+            r["scaling_vs_1dev"] = round(r["cells_per_sec"] / base, 2)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"note": "non-TPU platform: treat numbers as "
+                          "compile/execute validation only"}), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()
