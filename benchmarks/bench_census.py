@@ -46,6 +46,12 @@ def main():
     p.add_argument("--genes", type=int, default=36_601)  # census vocabulary
     p.add_argument("--seq-len", type=int, default=4_096)
     p.add_argument("--steps", type=int, default=4)  # per dispatch
+    p.add_argument("--remat-cross", choices=["on", "off"], default="off",
+                   help="on: rematerialize the (B,G,~2.75E) decoder cross "
+                        "block - required to fit batch>=32 in 16GB HBM")
+    p.add_argument("--cross-chunks", type=int, default=1,
+                   help="split the decoder cross block's gene axis into N "
+                        "chunks (exact; peak activation memory / N)")
     p.add_argument("--remat", choices=["on", "off"], default="on",
                    help="off: keep trunk activations (B=16 census fits HBM; "
                         "remat recompute is then pure overhead)")
@@ -60,6 +66,8 @@ def main():
         n_genes=args.genes, n_embed=512, n_embed_latent=64, n_layer=16,
         n_inducing_points=64, n_head=8, n_head_cross=8, multiple_of=64,
         dtype=jnp.bfloat16, remat=(args.remat == "on"),
+        remat_cross=(args.remat_cross == "on"),
+        cross_chunks=args.cross_chunks,
     )
     task = VAETask(vae, num_training_steps=10_000, learning_rate=3e-4)
     batch = synth_batch(np.random.default_rng(0), args.batch, args.genes, args.seq_len)
@@ -86,7 +94,7 @@ def main():
     train_flops = 3 * fwd_flops  # fwd + ~2x bwd (remat adds ~1 more fwd of trunk)
     tflops = train_flops / best_dt / 1e12
     for metric, value, unit in (
-        (f"census_vae_train_cells_per_sec_remat_{args.remat}", args.batch / best_dt, "cells/s"),
+        (f"census_vae_train_cells_per_sec_b{args.batch}_remat_{args.remat}_cross_{args.remat_cross}_ck{args.cross_chunks}", args.batch / best_dt, "cells/s"),
         ("census_vae_step_ms", best_dt * 1e3, "ms"),
         ("census_vae_tflops", tflops, "TFLOP/s"),
         ("census_vae_mfu", tflops / V5E_BF16_PEAK_TFLOPS, "fraction"),

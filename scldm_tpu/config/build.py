@@ -88,6 +88,8 @@ def build_vae(cfg: Dict) -> TransformerVAE:
         agg_func=m.get("agg_func", "log1p"),
         decoder_head=cfg["model"].get("decoder_name", "negative_binomial_shared_theta"),
         remat=cfg["model"].get("remat", False),
+        remat_cross=cfg["model"].get("remat_cross", False),
+        cross_chunks=int(cfg["model"].get("cross_chunks", 1)),
         dtype=_DTYPES[cfg["model"].get("compute_dtype", "float32")],
     )
 

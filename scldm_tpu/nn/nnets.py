@@ -187,6 +187,17 @@ class Decoder(nn.Module):
     shared_embedding: bool = True
     use_adaln: bool = False
     remat: bool = False
+    # rematerialize the gene-axis cross block in backward: its SwiGLU hidden
+    # (B, G, ~2.75E) is the single largest activation at census scale (3 GB
+    # per tensor at B=32/G=36601/E=512) — recomputing it trades ~one extra
+    # cross forward for the HBM that otherwise caps the batch size
+    remat_cross: bool = False
+    # split the gene/query axis of the cross block into this many chunks
+    # (exact: genes only interact with the latent kv, never each other).
+    # Combined with remat_cross, peak memory falls from 4x(B,G,H) to
+    # 4x(B,G/chunks,H): remat alone cannot help because the MLP *backward*
+    # needs its hidden activation and hidden gradient live simultaneously
+    cross_chunks: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -240,7 +251,12 @@ class Decoder(nn.Module):
                 name="gene_embedding",
             )(genes)
 
-        return CrossAttentionBlock(
+        cross_cls = (
+            nn.remat(CrossAttentionBlock, static_argnums=(4,))
+            if self.remat_cross
+            else CrossAttentionBlock
+        )
+        cross = cross_cls(
             n_embed=self.n_embed,
             n_inducing_points=0,
             n_head=self.n_head_cross,
@@ -251,7 +267,31 @@ class Decoder(nn.Module):
             use_adaln=self.use_adaln,
             dtype=self.dtype,
             name="decoder_cross_attention",
-        )(x, q=q, condition=condition, deterministic=not train)
+        )
+        if self.cross_chunks <= 1:
+            return cross(x, q, condition, not train)
+
+        # chunked gene axis: same module (shared params) applied per slice —
+        # exact because queries attend only to the latent kv
+        axis = q.ndim - 2
+        G = q.shape[axis]
+        cs = -(-G // self.cross_chunks)
+        pad = cs * self.cross_chunks - G
+        if pad:
+            widths = [(0, 0)] * q.ndim
+            widths[axis] = (0, pad)
+            q = jnp.pad(q, widths)
+        outs = [
+            cross(
+                x,
+                jax.lax.slice_in_dim(q, i * cs, (i + 1) * cs, axis=axis),
+                condition,
+                not train,
+            )
+            for i in range(self.cross_chunks)
+        ]
+        out = jnp.concatenate(outs, axis=-2)
+        return out[..., :G, :] if pad else out
 
 
 def build_cfg_segments(x, t, condition, cfg_scale, class_vocab_sizes, strategy):

@@ -153,6 +153,8 @@ def build_transformer_vae(
     decoder_head: str = "negative_binomial_shared_theta",
     head_temperature: float = 1.0,
     remat: bool = False,
+    remat_cross: bool = False,
+    cross_chunks: int = 1,
     dtype: jnp.dtype = jnp.float32,
 ) -> TransformerVAE:
     """Assemble a TransformerVAE with the reference default architecture
@@ -186,6 +188,8 @@ def build_transformer_vae(
         layernorm_eps=layernorm_eps,
         shared_embedding=shared_embedding,
         remat=remat,
+        remat_cross=remat_cross,
+        cross_chunks=cross_chunks,
         dtype=dtype,
     )
     if decoder_head == "negative_binomial_shared_theta":

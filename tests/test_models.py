@@ -338,3 +338,49 @@ def test_dropout_training_path():
     m1 = task.eval_step(state, batch, jax.random.PRNGKey(2))
     m2 = task.eval_step(state, batch, jax.random.PRNGKey(2))
     assert float(m1["val_loss"]) == float(m2["val_loss"])
+
+
+@pytest.mark.parametrize(
+    "variant",
+    [dict(remat_cross=True), dict(cross_chunks=3), dict(remat_cross=True, cross_chunks=3)],
+    ids=["remat", "chunked-padded", "remat+chunked"],
+)
+def test_remat_cross_and_chunk_equivalence(variant):
+    """Decoder remat_cross / cross_chunks are scheduling choices, not numeric
+    ones: same outputs and gradients up to f32 reassociation (census batch>=32
+    needs both to fit the (B, G, ~2.75E) SwiGLU hidden in HBM). cross_chunks=3
+    with G=50 exercises the pad-and-slice path (17+17+16)."""
+    G, B, S = 50, 4, 20
+    kwargs = dict(
+        n_genes=G, n_embed=16, n_embed_latent=8, n_layer=2,
+        n_inducing_points=4, n_head=2, n_head_cross=2,
+    )
+    v1 = build_transformer_vae(**kwargs)
+    v2 = build_transformer_vae(**kwargs, **variant)
+    rng = np.random.default_rng(0)
+    counts = rng.poisson(1.0, (B, G)).astype(np.float32)
+    genes = np.tile(np.arange(1, G + 1), (B, 1))
+    args = (
+        jnp.asarray(counts), jnp.asarray(genes),
+        jnp.asarray(counts.sum(1, keepdims=True)),
+        jnp.asarray(counts[:, :S]), jnp.asarray(genes[:, :S]),
+    )
+    p = v1.init(jax.random.PRNGKey(0), *args)
+    # identical param trees: the chunked module reuses ONE cross submodule
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        v2.init(jax.random.PRNGKey(0), *args)
+    )
+    o1, _ = v1.apply(p, *args)
+    o2, _ = v2.apply(p, *args)
+    np.testing.assert_allclose(
+        np.asarray(o1["mu"]), np.asarray(o2["mu"]), rtol=1e-4, atol=1e-6
+    )
+    g1 = jax.grad(lambda p: v1.apply(p, *args)[0]["mu"].sum())(p)
+    g2 = jax.grad(lambda p: v2.apply(p, *args)[0]["mu"].sum())(p)
+    f1 = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(g1)}
+    f2 = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+    for k in f1:
+        # tolerance scales with the leaf's grad magnitude: chunked matmul
+        # shapes change XLA's fma order, and near-cancelling sums amplify it
+        scale = float(jnp.abs(f1[k]).max()) + 1e-6
+        assert float(jnp.abs(f1[k] - f2[k]).max()) <= 1e-3 * scale + 1e-4, k
