@@ -55,6 +55,9 @@ def main():
     p.add_argument("--remat", choices=["on", "off"], default="on",
                    help="off: keep trunk activations (B=16 census fits HBM; "
                         "remat recompute is then pure overhead)")
+    p.add_argument("--fused-pool", action="store_true",
+                   help="route the encoder MCAB pooling through the flash "
+                        "window kernel (ops/fused_encoder.fused_window_pool)")
     args = p.parse_args()
 
     from scldm_tpu.nn.vae import build_transformer_vae
@@ -69,7 +72,8 @@ def main():
         remat_cross=(args.remat_cross == "on"),
         cross_chunks=args.cross_chunks,
     )
-    task = VAETask(vae, num_training_steps=10_000, learning_rate=3e-4)
+    task = VAETask(vae, num_training_steps=10_000, learning_rate=3e-4,
+                   fused_pool=args.fused_pool)
     batch = synth_batch(np.random.default_rng(0), args.batch, args.genes, args.seq_len)
     state = task.init_state(jax.random.PRNGKey(0), batch)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))

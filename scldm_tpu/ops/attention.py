@@ -16,6 +16,7 @@ Layout convention: (batch, seq, heads, head_dim) throughout.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,32 @@ def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out
 
 
+# Flash many-query/few-KV cross-attention (ops/fused_cross.py) dispatch gates:
+# a wide (E >= 256) model unpooling a long query axis into few latent tokens —
+# the census decoder shape, where XLA materializes (B, H, G, M) scores+probs
+# in HBM. Default OFF: standalone the kernel wins (29.1 vs 31.1 ms f+b at
+# census shapes) but the full census train step measured a LOSS (121.4 vs
+# 118.0 ms/step) — inside the step XLA fuses the attention chain with its
+# producer/consumer (LN epilogues, the out-proj) and the isolated kernel
+# forfeits those fusions. SCLDM_FLASH_CROSS=1 opts in (see ROADMAP).
+_FLASH_CROSS_ENABLED = os.environ.get("SCLDM_FLASH_CROSS", "0") == "1"
+_FLASH_CROSS_MIN_Q = 4096
+_FLASH_CROSS_MAX_KV = 128
+_FLASH_CROSS_MIN_E = 256
+
+
+def _use_flash_cross(q: jax.Array, k: jax.Array) -> bool:
+    M_, H, hd = q.shape
+    return (
+        _FLASH_CROSS_ENABLED
+        and jax.default_backend() == "tpu"
+        and M_ >= _FLASH_CROSS_MIN_Q
+        and k.shape[1] <= _FLASH_CROSS_MAX_KV
+        and H * hd >= _FLASH_CROSS_MIN_E
+        and hd % 8 == 0
+    )
+
+
 def sdpa_shared_q(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Attention with a batch-shared query set.
 
@@ -52,7 +79,20 @@ def sdpa_shared_q(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     unpooling cross-attention when the queries are the canonical full-gene
     embedding row — identical for every batch element, so projecting/normalizing
     them per batch element would be pure waste (and its backward a scatter).
+
+    At census decoder shapes (many queries, few KV, wide E) dispatches to the
+    Pallas flash kernel whose scores/probs never touch HBM; the head
+    split/flatten at the boundary is layout-free (heads are E-contiguous).
     """
+    if _use_flash_cross(q, k):
+        from scldm_tpu.ops.fused_cross import flash_cross_attention
+
+        M_, H, hd = q.shape
+        B, S = k.shape[0], k.shape[1]
+        y = flash_cross_attention(
+            q.reshape(M_, H * hd), k.reshape(B, S, H * hd), v.reshape(B, S, H * hd), H
+        )
+        return y.reshape(B, M_, H, hd)
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
     scores = jnp.einsum("mhd,bshd->bhms", q, k, preferred_element_type=jnp.float32)

@@ -417,7 +417,7 @@ def _wbwd_kernel(
         accum(ref, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def fused_window_pool(
     emb: jax.Array,  # (B, S, E) gathered token embeddings (input_layer output)
     qfull: jax.Array,  # (Q*H, E) block-diagonal per-head projected queries
@@ -426,6 +426,9 @@ def fused_window_pool(
     eps: float = 1e-8,
     block_s: int = 1024,
     block_b: int = 8,
+    bwd_block_s: int = 0,  # 0 = same as block_s; the bwd's VJP recompute
+    # roughly doubles the per-tile working set, so census width needs a
+    # smaller token tile in backward than forward
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Flash pooling over the packed window -> (num (B,QH,E), den (B,QH), m).
@@ -474,17 +477,18 @@ def _wfwd(emb, qfull, weights, scale, eps, block_s, block_b, interpret):
     return num[:B], den[:B], m[:B]
 
 
-def _wfused_fwd(emb, qfull, weights, scale, eps, block_s, block_b, interpret):
+def _wfused_fwd(emb, qfull, weights, scale, eps, block_s, block_b, bwd_block_s,
+                interpret):
     out = _wfwd(emb, qfull, weights, scale, eps, block_s, block_b, interpret)
     return out, (emb, qfull, weights, out[2])
 
 
-def _wfused_bwd(scale, eps, block_s, block_b, interpret, res, cts):
+def _wfused_bwd(scale, eps, block_s, block_b, bwd_block_s, interpret, res, cts):
     emb, qfull, weights, m = res
     dnum, dden, _dm = cts
     B, S, E = emb.shape
     QH = qfull.shape[0]
-    bs, bb = min(block_s, S), min(block_b, B)
+    bs, bb = min(bwd_block_s or block_s, S), min(block_b, B)
     emb_p = _pad_axis(_pad_axis(emb, 1, bs), 0, bb)
     m_p = _pad_axis(m, 0, bb)
     dnum_p = _pad_axis(dnum, 0, bb)
@@ -514,7 +518,9 @@ def _wfused_bwd(scale, eps, block_s, block_b, interpret, res, cts):
             full(qfull),
             *[full(w) for w in weights],
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        # the recompute-VJP working set at census width (bb=8, bs=256, E=512)
+        # peaks near the 64M default; v5e has 128M of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(emb_p, qfull, *weights, m_p, dnum_p, dden_p)
     demb, dqfull, *dws = outs

@@ -150,11 +150,17 @@ def fused_window_pooling(
 
     ca, inducing, qfull, weights, scale, eps, n_head = _mcab_prep(vae, params)
     B, S, E = emb.shape
-    block_s = 1024
+    # tile sizes scale down with width: the kernel's VMEM working set is
+    # ~(block_b*block_s*E + block_b*block_s*QH + block_b*QH*E) f32, and the
+    # 1024x8 tiles that fit at E=32 exceed scoped VMEM at census width; the
+    # backward's VJP recompute roughly doubles that, so it tiles half again
+    block_s, block_b, bwd_block_s = (
+        (512, 8, 256) if E >= 256 else (1024, 8, 0)
+    )
     s_padded = S + ((-S) % min(block_s, S))
 
     num, den, m = fused_window_pool(
-        emb, qfull, weights, scale, eps, block_s, 8, interpret
+        emb, qfull, weights, scale, eps, block_s, block_b, bwd_block_s, interpret
     )
     m = jax.lax.stop_gradient(m)
     # only the kernel's own (s_padded - S) zero-emb pad rows need removing
@@ -369,12 +375,12 @@ def _fused_encoder_ok(vae: TransformerVAE) -> bool:
 def _fused_window_ok(vae: TransformerVAE) -> bool:
     """Window-input pooling (fused_window_pooling) consumes the embedding
     directly, so any agg_func qualifies; attention must be bias/dropout-free
-    (the kernel prep omits qkv biases) and narrow enough for VMEM tiles."""
-    return (
-        vae.encoder.dropout == 0.0
-        and not vae.encoder.bias
-        and vae.encoder.n_embed <= 128
-    )
+    (the kernel prep omits qkv biases). Width is NOT a constraint — the tile
+    sizes adapt (see fused_window_pooling) — but the kernel only pays off
+    when the (B, S, E) window is wide/long enough that XLA's materialized
+    attention chain dominates (census shapes), hence the explicit
+    `VAETask(fused_pool=True)` opt-in rather than auto-dispatch."""
+    return vae.encoder.dropout == 0.0 and not vae.encoder.bias
 
 
 def _dense_pool_worth_it(n_genes: int, window_len: int, block_g: int = 1024) -> bool:
@@ -421,6 +427,7 @@ class VAETask:
         calculate_grad_norms: bool = False,
         fused_decoder: Optional[bool] = None,  # None = auto (TPU & eligible arch)
         fused_trunk: Optional[bool] = None,  # opt-in only (measured loss at reference shapes)
+        fused_pool: Optional[bool] = None,  # opt-in: window-kernel MCAB pooling (census widths)
         mesh: Optional[Mesh] = None,
         fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
     ):
@@ -436,6 +443,12 @@ class VAETask:
         # backward wins when (B, 16, 32) activations are this small. Kept as
         # an opt-in for configs with deeper/narrower trunks (see ROADMAP #1).
         self.fused_trunk = bool(fused_trunk) and _fused_trunk_ok(vae)
+        # opt-in only: at dentate shapes (B=128, S=6147, E=32) the window
+        # kernel measured a LOSS (43.3 vs 40.3 ms/step — ROADMAP #flash); at
+        # census widths (E>=256) XLA's materialized attention chain is the
+        # slow side and the kernel wins (benchmarks/bench_census.py --fused-pool)
+        self.fused_pool = bool(fused_pool) and _fused_window_ok(vae)
+        self._pool_interpret = False  # tests: run the pool kernel in interpret mode
         self.mesh = mesh
         if num_warmup_steps is None:
             num_warmup_steps = max(1, int(0.1 * num_training_steps))  # _utils.py:96-106
@@ -519,6 +532,8 @@ class VAETask:
 
     def _apply(self, params, batch, train: bool, rng: Optional[jax.Array] = None):
         rngs = {"dropout": rng} if (train and rng is not None) else None
+        if self.fused_pool:
+            return self._apply_fused_pool(params, batch, train, rngs)
         return self.vae.apply(
             params,
             counts=batch[COUNTS],
@@ -529,6 +544,33 @@ class VAETask:
             train=train,
             rngs=rngs,
         )
+
+    def _apply_fused_pool(self, params, batch, train: bool, rngs):
+        """`TransformerVAE.__call__` with the MCAB pooling replaced by the
+        flash window kernel (ops/fused_encoder.fused_window_pool); trunk,
+        decoder and head stay flax modules. Exact same math — the kernel
+        streams LN + k/v projection + softmax over token tiles instead of
+        materializing the (B, S, QH) attention chain in HBM."""
+        emb = self.vae.apply(
+            params,
+            batch.get(C_SUB, batch[COUNTS]),
+            batch.get(G_SUB, batch[GENES]),
+            method=lambda m, c, g: m.input_layer(c, g),
+        )
+        pooled = fused_window_pooling(self.vae, params, emb, interpret=self._pool_interpret)
+        h_z = self.vae.apply(
+            params, pooled, train,
+            method=lambda m, e, tr: m.encoder(e, train=tr, skip_pool=True),
+            rngs=rngs,
+        )
+        out = self.vae.apply(
+            params, h_z, batch[GENES], batch[LIB], train,
+            method=lambda m, z, g, l, tr: m._head_params(
+                m.decoder(z, m._decoder_queries(g), train=tr), g, l
+            ),
+            rngs=rngs,
+        )
+        return out, h_z
 
     # -- steps -----------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:

@@ -160,6 +160,82 @@ def test_window_pooling_matches_module_at_sparse_shapes():
     assert float(jnp.abs(h_f - h_m).max()) < 0.02 * mag
 
 
+def test_window_pooling_census_width_tiles():
+    """E >= 256 engages the narrower (512-token) tile path whose 1024-token
+    tiles would blow scoped VMEM at census width; forward AND gradient must
+    still match the module encoder (the custom-VJP backward shares the tile
+    geometry with the forward)."""
+    from scldm_tpu.training.vae_task import fused_window_pooling
+
+    g, s, b = 700, 600, 4  # s > block_s(512) -> multi-tile at the wide path
+    vae = build_transformer_vae(
+        n_genes=g, n_embed=512, n_embed_latent=64, n_layer=1,
+        n_inducing_points=64, n_head=8,
+    )
+    lean = _lean_batch(seed=7, g=g, s=s, b=b)
+    task = VAETask(vae, num_training_steps=10)
+    state = task.init_state(jax.random.PRNGKey(0), lean)
+
+    emb = vae.apply(
+        state.params, lean["counts_subset"], lean["genes_subset"],
+        method=lambda m, c, gg: m.input_layer(c, gg),
+    )
+    # random projection: sum(h*w) has a real gradient. sum(h**2) would NOT —
+    # h is non-affine-LN output, so its square-sum is ~constant and both
+    # paths' gradients would be pure numerical noise.
+    w = jax.random.normal(jax.random.PRNGKey(3), (b, 64, 64))
+
+    def via_module(p, e):
+        h = vae.apply(p, e, method=lambda m, x: m.encoder(x, train=False))
+        return h, jnp.sum(h * w)
+
+    def via_kernel(p, e):
+        h = vae.apply(
+            p, fused_window_pooling(vae, p, e, interpret=True),
+            method=lambda m, x: m.encoder(x, train=False, skip_pool=True),
+        )
+        return h, jnp.sum(h * w)
+
+    h_m, h_f = via_module(state.params, emb)[0], via_kernel(state.params, emb)[0]
+    mag = float(jnp.abs(h_m).max())
+    assert float(jnp.abs(h_f - h_m).max()) < 0.02 * mag
+
+    g_m = jax.grad(lambda p, e: via_module(p, e)[1], argnums=1)(state.params, emb)
+    g_f = jax.grad(lambda p, e: via_kernel(p, e)[1], argnums=1)(state.params, emb)
+    gmag = float(jnp.abs(g_m).max()) + 1e-30
+    assert float(jnp.abs(g_f - g_m).max()) < 0.03 * gmag
+
+
+def test_vae_task_fused_pool_step_matches_default():
+    """`VAETask(fused_pool=True)` (the census --fused-pool path) must produce
+    the same loss and finite matching grads as the module path on one train
+    step — the _apply_fused_pool decomposition (input_layer -> window kernel
+    -> skip_pool encoder -> decoder/head) is exactly the module forward."""
+    g, s, b = 300, 280, 4  # s > block_s? no — single tile; multi-tile is
+    # covered by test_window_pooling_census_width_tiles; this pins the task wiring
+    vae = build_transformer_vae(
+        n_genes=g, n_embed=256, n_embed_latent=32, n_layer=1,
+        n_inducing_points=16, n_head=8,
+    )
+    lean = _lean_batch(seed=11, g=g, s=s, b=b)
+
+    t_ref = VAETask(vae, num_training_steps=10)
+    t_fp = VAETask(vae, num_training_steps=10, fused_pool=True)
+    assert t_fp.fused_pool, "gate should accept bias-free dropout-free arch"
+    t_fp._pool_interpret = True  # CPU backend
+
+    s_ref = t_ref.init_state(jax.random.PRNGKey(0), lean)
+    s_fp = t_fp.init_state(jax.random.PRNGKey(0), lean)
+
+    s_ref1, m_ref = t_ref.train_step(s_ref, dict(lean))
+    s_fp1, m_fp = t_fp.train_step(s_fp, dict(lean))
+    l_ref, l_fp = float(m_ref["train_loss"]), float(m_fp["train_loss"])
+    assert np.isfinite(l_fp)
+    assert abs(l_fp - l_ref) < 5e-3 * abs(l_ref), (l_ref, l_fp)
+    g_ref, g_fp = float(m_ref["grad_norm"]), float(m_fp["grad_norm"])
+    assert abs(g_fp - g_ref) < 0.02 * abs(g_ref), (g_ref, g_fp)
+
+
 def test_train_step_runs_with_fused_encoder():
     """End-to-end train_steps at gate-passing shapes (interpret-free CPU run
     uses the non-fused branch on non-TPU backends via fused_decoder gating;
