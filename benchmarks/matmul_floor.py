@@ -1,0 +1,101 @@
+"""Pure-matmul ceiling for the census step (the floor behind the MFU claim).
+
+Measures isolated XLA matmuls at the exact shapes the census VAE step issues
+(R = B*G rows through the decoder cross/MLP/head chain) and combines them into
+the FLOP-weighted rate a glue-free step could at best achieve on this chip.
+The headline census MFU (benchmarks/bench_census.py) should be read against
+THIS ceiling, not the datasheet peak: the datasheet assumes K=N=MXU-sized
+operands, which the architecture's K=512 / N=512 projections never reach.
+
+Also measures the silu-mul epilogue tax (XLA's fused up-proj + SwiGLU gate vs
+the bare matmul) — the single largest non-matmul cost in the step, and the
+reason further isolated-kernel fusion attempts were measured losses (ROADMAP).
+
+Prints one JSON line per shape plus the weighted ceiling. Run on the real
+chip: python -m benchmarks.matmul_floor [--batch 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def _time(f, args, n=10):
+    float(f(*args)[0, 0])  # scalar fetch = provable sync on tunneled devices
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n - 1):
+            f(*args)
+        float(f(*args)[0, 0])
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--genes", type=int, default=36_601)
+    args = p.parse_args()
+    R = args.batch * args.genes  # rows through the decoder cross/MLP/head
+    E, HD = 512, 1408  # vae_census.yaml width / SwiGLU hidden
+
+    # (name, lhs shape, rhs shape, fwd+bwd multiplicity in one train step)
+    # multiplicity: fwd=1; bwd adds dgrad (same shape class) + wgrad (K=R).
+    cases = [
+        ("mlp_up", (R, E), (E, 2 * HD), 2.0),   # w1+w2 fwd, + dgrads in bwd
+        ("mlp_down", (R, HD), (HD, E), 2.0),
+        ("proj_EE", (R, E), (E, E), 4.0),       # attn out-proj + head-ish E x E
+        ("wgrad", (E, R), (R, HD), 3.0),        # all K=R weight grads
+    ]
+    plain = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+
+    total_fl, total_t = 0.0, 0.0
+    for name, sa, sb, mult in cases:
+        ka, kb = jax.random.split(jax.random.PRNGKey(0))
+        a = jax.random.normal(ka, sa, jnp.bfloat16)
+        b = jax.random.normal(kb, sb, jnp.bfloat16)
+        dt = _time(plain, (a, b))
+        fl = 2 * sa[0] * sa[1] * sb[1]
+        total_fl += mult * fl
+        total_t += mult * dt
+        print(json.dumps({
+            "metric": f"matmul_{name}_tflops", "value": round(fl / dt / 1e12, 1),
+            "unit": "TFLOP/s", "vs_baseline": None,
+        }))
+
+    # the silu-mul epilogue tax: fused up-proj + SwiGLU gate vs bare matmul
+    def fused_gate(a, b):
+        h = jnp.dot(a, b, preferred_element_type=jnp.float32)
+        w1x, w2x = jnp.split(h, 2, axis=-1)
+        return (jax.nn.silu(w1x) * w2x).astype(jnp.bfloat16)
+
+    ka, kb = jax.random.split(jax.random.PRNGKey(1))
+    a = jax.random.normal(ka, (R, E), jnp.bfloat16)
+    b = jax.random.normal(kb, (E, 2 * HD), jnp.bfloat16)
+    t_bare = _time(plain, (a, b))
+    t_gate = _time(jax.jit(fused_gate), (a, b))
+    print(json.dumps({
+        "metric": "swiglu_gate_epilogue_tax", "value": round(t_gate / t_bare, 2),
+        "unit": "x bare matmul", "vs_baseline": None,
+    }))
+
+    ceiling = total_fl / total_t / 1e12
+    print(json.dumps({
+        "metric": "census_pure_matmul_ceiling", "value": round(ceiling, 1),
+        "unit": "TFLOP/s", "vs_baseline": round(ceiling / V5E_BF16_PEAK_TFLOPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
