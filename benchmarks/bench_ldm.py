@@ -1,11 +1,18 @@
 """Secondary benchmarks: LDM train throughput + CFG sampler throughput.
 
 Prints one JSON line per metric (the driver's headline bench is bench.py).
-Run: python -m benchmarks.bench_ldm
+Run: python -m benchmarks.bench_ldm [--census]
+
+--census swaps in the census-scale pair the reference ships checkpoints for
+(download_artifacts.py:193-216): the 128M-param E=512 VAE as frozen tokenizer
+(36,601 genes, 64x64 latent) under the same DiT width the reference uses for
+every dataset (ldm_base.yaml: n_embed=256, n_layer=8; seq_len/n_embed_input
+follow the VAE latent). Generation is then dominated by the census decode.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -26,14 +33,36 @@ K = 10
 
 
 def main():
-    vae = build_transformer_vae(n_genes=vae_bench.N_GENES, dtype=jnp.bfloat16)
-    batch = vae_bench.synth_batch(np.random.default_rng(0))
+    p = argparse.ArgumentParser()
+    p.add_argument("--census", action="store_true",
+                   help="census-scale pair: E=512/128M VAE tokenizer + the "
+                        "reference DiT width over its 64-token latent")
+    args = p.parse_args()
+
+    global BATCH, K
+    if args.census:
+        from benchmarks.bench_census import synth_batch as census_synth
+
+        BATCH, K = 16, 4  # vae_census.yaml batch size; K amortizes dispatch
+        n_genes, tag = 36_601, "census_"
+        vae = build_transformer_vae(
+            n_genes=n_genes, n_embed=512, n_embed_latent=64, n_layer=16,
+            n_inducing_points=64, n_head=8, n_head_cross=8, multiple_of=64,
+            dtype=jnp.bfloat16, remat=True,
+        )
+        batch = census_synth(np.random.default_rng(0), BATCH, n_genes, 4096)
+        dit_tokens, dit_in = 64, 64
+    else:
+        n_genes, tag = vae_bench.N_GENES, ""
+        vae = build_transformer_vae(n_genes=n_genes, dtype=jnp.bfloat16)
+        batch = vae_bench.synth_batch(np.random.default_rng(0))
+        dit_tokens, dit_in = 16, 16
     batch["clusters"] = np.random.default_rng(1).integers(0, 14, BATCH).astype(np.int64)
     vae_task = VAETask(vae, num_training_steps=100)
     vstate = vae_task.init_state(jax.random.PRNGKey(0), batch)
 
     dit = DiT(
-        n_embed=256, n_embed_input=16, n_layer=8, n_head=8, seq_len=16,
+        n_embed=256, n_embed_input=dit_in, n_layer=8, n_head=8, seq_len=dit_tokens,
         class_vocab_sizes={"clusters": 14}, cfg_dropout_prob=0.8, dtype=jnp.bfloat16,
     )
     task = LDMTask(vae, vstate.params, dit, create_transport(), num_training_steps=1000)
@@ -51,7 +80,7 @@ def main():
     _ = float(m["train_loss"])
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "metric": "ldm_train_cells_per_sec",
+        "metric": f"{tag}ldm_train_cells_per_sec",
         "value": round(BATCH * K * 5 / dt, 1),
         "unit": "cells/s",
         "vs_baseline": None,
@@ -74,7 +103,7 @@ def main():
     )
     from scldm_tpu.ops.transforms import canonical_gene_ids
 
-    genes = canonical_gene_ids(vae_bench.N_GENES)
+    genes = canonical_gene_ids(n_genes)
     cond = {"clusters": jnp.asarray(batch["clusters"])}
     counts, z = fn(state, jax.random.PRNGKey(2), genes, cond)
     _ = float(counts.ravel()[0])
@@ -87,15 +116,15 @@ def main():
     cells_per_sec = 2 * BATCH * reps / dt  # doubled batch: uncond + cond halves
     denoiser_steps_per_sec = num_steps * reps / dt
     print(json.dumps({
-        "metric": "cfg_generation_cells_per_sec",
+        "metric": f"{tag}cfg_generation_cells_per_sec",
         "value": round(cells_per_sec, 1),
         "unit": "cells/s",
         "vs_baseline": None,
     }))
     print(json.dumps({
-        "metric": "sampler_denoiser_steps_per_sec",
+        "metric": f"{tag}sampler_denoiser_steps_per_sec",
         "value": round(denoiser_steps_per_sec, 1),
-        "unit": "steps/s (euler-250, batch 256 CFG)",
+        "unit": f"steps/s (euler-250, batch {2 * BATCH} CFG)",
         "vs_baseline": None,
     }))
 

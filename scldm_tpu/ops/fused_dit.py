@@ -99,7 +99,9 @@ def _block_kernel(
             w1_ref, w2_ref, wmlp_ref,
         )
     ]
-    out = _block_math(x_ref[...], c_ref[...], weights, n_head, eps)
+    # c rides as (br, 1, E): 3-D blocks keep the row dim free of the
+    # (8, 128) last-two-dims tiling constraint at small row blocks
+    out = _block_math(x_ref[...], c_ref[...][:, 0, :], weights, n_head, eps)
     o_ref[...] = out.astype(o_ref.dtype)
 
 
@@ -126,10 +128,13 @@ def _block_bwd_kernel(
     def f(x, c, *ws):
         return _block_math(x, c, ws, n_head, eps)
 
-    _, vjp = jax.vjp(f, x_ref[...].astype(jnp.float32), c_ref[...].astype(jnp.float32), *weights)
+    _, vjp = jax.vjp(
+        f, x_ref[...].astype(jnp.float32),
+        c_ref[...][:, 0, :].astype(jnp.float32), *weights,
+    )
     grads = vjp(dy_ref[...].astype(jnp.float32))
     dx_ref[...] = grads[0].astype(dx_ref.dtype)
-    dc_ref[...] = grads[1].astype(dc_ref.dtype)
+    dc_ref[...] = grads[1][:, None, :].astype(dc_ref.dtype)
 
     first = pl.program_id(0) == 0
     dw_refs = (
@@ -153,16 +158,20 @@ def fused_dit_block(
     params: Dict[str, jax.Array],
     n_head: int,
     eps: float = 1e-8,
-    block_rows: int = 64,  # f32 working set must fit the ~16M VMEM scoped stack
+    block_rows: int | None = None,  # None = auto-sized to the ~16M VMEM scoped stack
     interpret: bool = False,
 ) -> jax.Array:
     R, T, E = x.shape
+    if block_rows is None:
+        # working set scales with block_rows*T; 64 rows validated at T=16
+        block_rows = max(1, 1024 // T)
     br = min(block_rows, R)
     pad = (-R) % br
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
         c = jnp.pad(c, ((0, pad), (0, 0)))
     Rp = x.shape[0]
+    c = c[:, None, :]  # (Rp, 1, E): row dim free of the (8,128) tiling rule
 
     hidden = params["w1"].shape[1]
     # biases as (1, dim) for friendly TPU tiling
@@ -184,7 +193,7 @@ def fused_dit_block(
         grid=(Rp // br,),
         in_specs=[
             pl.BlockSpec((br, T, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, E), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             *[full(a) for a in weights],
         ],
         out_specs=pl.BlockSpec((br, T, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -195,6 +204,11 @@ def fused_dit_block(
 
 def _bwd_pallas(x, c, params, dy, n_head, eps, block_rows, interpret):
     R, T, E = x.shape
+    if block_rows is None:
+        # the in-kernel vjp's residual stack scales with block_rows*T; 16 rows
+        # validated at T=16 (the reference LDM seq_len); T=64 (census latent)
+        # needs 4 to stay under the 16M scoped-vmem limit
+        block_rows = max(1, 256 // T)
     br = min(block_rows, R)
     pad = (-R) % br
     if pad:  # zero-padded rows contribute zero cotangents
@@ -202,6 +216,7 @@ def _bwd_pallas(x, c, params, dy, n_head, eps, block_rows, interpret):
         c = jnp.pad(c, ((0, pad), (0, 0)))
         dy = jnp.pad(dy, ((0, pad), (0, 0), (0, 0)))
     Rp = x.shape[0]
+    c = c[:, None, :]  # (Rp, 1, E): see fused_dit_block
     weights = [
         params["wada"], params["bada"].reshape(1, -1),
         params["wqkv"], params["bqkv"].reshape(1, -1),
@@ -210,10 +225,10 @@ def _bwd_pallas(x, c, params, dy, n_head, eps, block_rows, interpret):
     ]
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
     row3 = pl.BlockSpec((br, T, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    row2 = pl.BlockSpec((br, E), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row2 = pl.BlockSpec((br, 1, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((Rp, T, E), x.dtype),   # dx
-        jax.ShapeDtypeStruct((Rp, E), c.dtype),      # dc
+        jax.ShapeDtypeStruct((Rp, 1, E), c.dtype),   # dc
         *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights],
     )
     outs = pl.pallas_call(
@@ -222,6 +237,10 @@ def _bwd_pallas(x, c, params, dy, n_head, eps, block_rows, interpret):
         grid=(Rp // br,),
         in_specs=[row3, row2, *[full(w) for w in weights], row3],
         out_specs=(row3, row2, *[full(w) for w in weights]),
+        # the in-kernel vjp's weight-grad working set is fixed (~E*hidden
+        # terms) regardless of row block; the 16M scoped-stack default is
+        # ~1M short at E=256/T=64, so raise the cap (v5e has 128M VMEM)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, c, *weights, dy)
     dx, dc, *dws = outs
@@ -229,12 +248,12 @@ def _bwd_pallas(x, c, params, dy, n_head, eps, block_rows, interpret):
         name: (g.reshape(params[name].shape)).astype(params[name].dtype)
         for name, g in zip(WEIGHT_NAMES, dws)
     }
-    return dx[:R], dc[:R], dparams
+    return dx[:R], dc[:R, 0], dparams
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_dit_block_trainable(
-    x, c, params, n_head, eps=1e-8, block_rows=64, bwd_block_rows=16, interpret=False
+    x, c, params, n_head, eps=1e-8, block_rows=None, bwd_block_rows=None, interpret=False
 ):
     """Differentiable fused block: Pallas forward AND backward kernels
     (gradients verified against jax.grad of the flax Block)."""
@@ -323,8 +342,8 @@ def fused_dit_train_apply(
     n_embed: int,
     seq_len: int,
     eps: float = 1e-8,
-    block_rows: int = 64,
-    bwd_block_rows: int = 16,
+    block_rows: int | None = None,  # None = auto-sized by seq_len (VMEM stack)
+    bwd_block_rows: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Differentiable DiT trunk with every block as a fused Pallas kernel

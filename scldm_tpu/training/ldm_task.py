@@ -192,19 +192,26 @@ class LDMTask:
     def _encode(self, batch: Dict) -> jax.Array:
         return jax.lax.stop_gradient(self._encode_with(self.vae_params, batch))
 
-    def _split_trees(self, params):
+    def _split_trees(self, params, vae_params):
         """(dit_params, vae_params) for either parameter layout."""
         if self.train_vae:
             return params["dit"], params["vae"]
-        return params, self.vae_params
+        return params, vae_params
 
-    def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+    def _train_step_impl(
+        self, state: TrainState, batch: Dict, frozen_vae_params
+    ) -> Tuple[TrainState, Dict]:
+        # frozen_vae_params rides as a jit OPERAND, never a closure: closed-over
+        # arrays are baked into the HLO as constants, which at census scale
+        # (128M-param VAE) bloats the compile payload by ~0.5 GB.
         rng, rng_t, rng_c, rng_d = jax.random.split(state.rng, 4)
-        z = None if self.train_vae else self._encode(batch)
+        z = None if self.train_vae else jax.lax.stop_gradient(
+            self._encode_with(frozen_vae_params, batch)
+        )
         condition = split_condition(batch, self.dit.class_vocab_sizes or {})
 
         def loss_fn(params):
-            dit_params, vae_params = self._split_trees(params)
+            dit_params, vae_params = self._split_trees(params, frozen_vae_params)
             zz = self._encode_with(vae_params, batch) if self.train_vae else z
 
             def model_fn(xt, t, condition):
@@ -259,21 +266,24 @@ class LDMTask:
             mets,
         )
 
-    def _train_steps_impl(self, state: TrainState, stacked: Dict) -> Tuple[TrainState, Dict]:
+    def _train_steps_impl(
+        self, state: TrainState, stacked: Dict, frozen_vae_params
+    ) -> Tuple[TrainState, Dict]:
         """K optimizer steps in one compiled program (see VAETask.train_steps)."""
 
         def body(s, b):
-            s, m = self._train_step_impl(s, b)
+            s, m = self._train_step_impl(s, b, frozen_vae_params)
             return s, m
 
         state, mets = jax.lax.scan(body, state, stacked)
         return state, jax.tree_util.tree_map(lambda x: x.mean(), mets)
 
     def _eval_step_impl(
-        self, params, ema_params, batch: Dict, rng: jax.Array, use_ema: bool = False
+        self, params, ema_params, batch: Dict, rng: jax.Array, frozen_vae_params,
+        use_ema: bool = False,
     ) -> Dict:
         rng_t, rng_c = jax.random.split(rng)
-        dit_params, vae_params = self._split_trees(params)
+        dit_params, vae_params = self._split_trees(params, frozen_vae_params)
         z = jax.lax.stop_gradient(self._encode_with(vae_params, batch))
         condition = split_condition(batch, self.dit.class_vocab_sizes or {})
         p = {"params": ema_params} if use_ema else dit_params
@@ -289,13 +299,15 @@ class LDMTask:
 
     # -- public API -------------------------------------------------------------------
     def train_step(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
-        return self._train_step(state, batch)
+        return self._train_step(state, batch, self.vae_params)
 
     def train_steps(self, state: TrainState, stacked: Dict) -> Tuple[TrainState, Dict]:
-        return self._train_steps(state, stacked)
+        return self._train_steps(state, stacked, self.vae_params)
 
     def eval_step(self, state: TrainState, batch: Dict, rng: jax.Array, ema: bool = False):
-        return self._eval_step(state.params, state.ema.params, batch, rng, use_ema=ema)
+        return self._eval_step(
+            state.params, state.ema.params, batch, rng, self.vae_params, use_ema=ema
+        )
 
     # -- generation (models.py:766-819) ---------------------------------------------
     def make_sample_fn(
@@ -382,11 +394,11 @@ class LDMTask:
 
         def wrapped(state_or_params, rng, genes, condition=None, batch_size=None):
             if isinstance(state_or_params, TrainState):
-                dit_p, vae_p = self._split_trees(state_or_params.params)
+                dit_p, vae_p = self._split_trees(state_or_params.params, self.vae_params)
                 if use_ema:
                     dit_p = {"params": state_or_params.ema.params}
             else:
-                dit_p, vae_p = self._split_trees(state_or_params)
+                dit_p, vae_p = self._split_trees(state_or_params, self.vae_params)
             if batch_size is None:
                 if genes.ndim == 2:
                     batch_size = genes.shape[0]

@@ -144,6 +144,48 @@ def test_trainable_fused_block_gradients(block_setup):
         )
 
 
+def test_trainable_fused_block_census_seq_len():
+    """Auto block-row sizing at the census latent's T=64: the VMEM working set
+    scales with block_rows*T, so the defaults must shrink the row blocks (the
+    T=16 defaults blow the 16M scoped-vmem stack at T=64 — seen live on v5e).
+    Gradients stay exact vs the flax Block through the (br, 1, E) c-blocks."""
+    from scldm_tpu.ops.fused_dit import fused_dit_block_trainable
+
+    Rc, Tc, Ec, Hc = 6, 64, 32, 4
+    block = Block(
+        n_embed=Ec, n_head=Hc, bias=True, multiple_of=4, layernorm_eps=1e-8,
+        use_adaln=True, elementwise_affine=False,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (Rc, Tc, Ec))
+    c = jax.random.normal(jax.random.PRNGKey(1), (Rc, 1, Ec))
+    params = block.init(jax.random.PRNGKey(2), x, condition=c)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    flat = {
+        k: (jax.random.normal(jax.random.PRNGKey(i), v.shape) * 0.05 if "adaln" in k[0] else v)
+        for i, (k, v) in enumerate(flat.items())
+    }
+    params = {"params": flax.traverse_util.unflatten_dict(flat)}
+    kp = extract_block_params(params["params"])
+    w = jax.random.normal(jax.random.PRNGKey(9), (Rc, Tc, Ec))
+
+    def loss_fused(x, c2, kp):
+        # block_rows/bwd_block_rows None = auto (256//64 = 4 bwd rows)
+        out = fused_dit_block_trainable(x, c2, kp, Hc, 1e-8, None, None, True)
+        return (out * w).sum()
+
+    def loss_flax(x, c, params):
+        return (block.apply(params, x, condition=c) * w).sum()
+
+    gx, gc, gp = jax.grad(loss_fused, argnums=(0, 1, 2))(x, c[:, 0, :], kp)
+    gx_ref, gc_ref, _ = jax.grad(loss_flax, argnums=(0, 1, 2))(x, c, params)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(gc), np.asarray(gc_ref[:, 0, :]), rtol=1e-3, atol=1e-3
+    )
+
+
 def test_fused_training_loss_and_grads_match_flax():
     """LDM train step with fused_training=True reproduces the flax path's loss
     and gradients (same rngs)."""
