@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import hashlib
+import os
 import sys
 import urllib.request
 from dataclasses import dataclass, field
@@ -22,7 +23,11 @@ from typing import List, Optional
 
 from scldm_tpu.utils.logger import logger
 
-BUCKET_URL = "https://czi-scldm.s3.amazonaws.com"
+# Overridable for mirrors / proxies / offline test fixtures
+# (SCLDM_ARTIFACTS_URL or the base_url parameter).
+BUCKET_URL = os.environ.get(
+    "SCLDM_ARTIFACTS_URL", "https://czi-scldm.s3.amazonaws.com"
+)
 
 DATASETS = ["dentate_gyrus", "hlca", "tabula_muris", "parse1m", "replogle"]
 HEAD_VARIANTS = ["gaussian", "negative_binomial"]
@@ -64,9 +69,11 @@ def download_artifacts(
     groups: Optional[List[str]] = None,
     datasets: Optional[List[str]] = None,
     artifacts: Optional[List[Artifact]] = None,
+    base_url: Optional[str] = None,
 ) -> List[Path]:
     """Download (or skip-by-ETag) the selected artifact groups."""
     out = Path(output_dir)
+    root = (base_url or BUCKET_URL).rstrip("/")
     done: List[Path] = []
     for art in artifacts or default_artifacts():
         if groups and art.group not in groups:
@@ -75,7 +82,7 @@ def download_artifacts(
             continue
         dest = out / (art.dest or art.key)
         dest.parent.mkdir(parents=True, exist_ok=True)
-        url = f"{BUCKET_URL}/{art.key}"
+        url = f"{root}/{art.key}"
         try:
             req = urllib.request.Request(url, method="HEAD")
             with urllib.request.urlopen(req, timeout=30) as resp:
@@ -98,8 +105,10 @@ def main(argv=None) -> int:
     p.add_argument("--groups", nargs="*", default=None,
                    choices=["datasets", "resubmission", "vae_census"])
     p.add_argument("--datasets", nargs="*", default=None)
+    p.add_argument("--base-url", default=None,
+                   help="override the bucket endpoint (mirror/proxy)")
     a = p.parse_args(argv if argv is not None else sys.argv[1:])
-    paths = download_artifacts(a.output_dir, a.groups, a.datasets)
+    paths = download_artifacts(a.output_dir, a.groups, a.datasets, base_url=a.base_url)
     logger.info(f"{len(paths)} artifacts present")
     return 0
 
