@@ -106,19 +106,27 @@ def main(argv=None) -> int:
         return 0
 
     inf_args = cfg.get("inference_args") or {}
+
+    # one compiled program per batch signature; params as operands (closures
+    # would bake the frozen tree into the HLO as constants)
+    encode = jax.jit(task._encode_with)
+
+    @jax.jit
+    def reconstruct(params, z, genes, lib, rng):
+        from scldm_tpu.ops.distributions import nb_sample
+
+        out = vae.apply(params, z, genes, lib, method="decode")
+        return nb_sample(rng, out["mu"], out["theta"])
+
     for i, batch in enumerate(datamodule.predict_batches()):
         dev = {k: jax.numpy.asarray(v) for k, v in batch.items()}
-        z = task._encode(dev)
+        z = encode(task.vae_params, dev)
         outputs = {"z": np.asarray(z)}
         if inf_args.get("reconstruct", True):
-            out = vae.apply(
-                vae_params, z, dev["genes"], dev["library_size"], method="decode"
-            )
-            from scldm_tpu.ops.distributions import nb_sample
-
-            outputs["reconstructed_counts"] = np.asarray(
-                nb_sample(jax.random.PRNGKey(i), out["mu"], out["theta"])
-            )
+            outputs["reconstructed_counts"] = np.asarray(reconstruct(
+                vae_params, z, dev["genes"], dev["library_size"],
+                jax.random.PRNGKey(i),
+            ))
         else:
             outputs["reconstructed_counts"] = np.asarray(batch[COUNTS])
         for k, v in batch.items():
@@ -142,9 +150,12 @@ def _vae_inference(cfg, vae, vae_params, datamodule, vocab) -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
     dataset = cfg["datamodule"]["dataset"]
 
+    # params ride as a jit operand, not a closure: closed-over trees bake
+    # into the HLO as constants (~0.5 GB compile payload for the released
+    # census 128M VAE this path exists to serve)
     @jax.jit
-    def forward(counts, genes, lib, c_sub, g_sub, rng):
-        out, z = vae.apply(vae_params, counts, genes, lib, c_sub, g_sub)
+    def forward(params, counts, genes, lib, c_sub, g_sub, rng):
+        out, z = vae.apply(params, counts, genes, lib, c_sub, g_sub)
         if "theta" in out:
             counts_pred = nb_sample(rng, out["mu"], out["theta"])
         else:
@@ -153,6 +164,7 @@ def _vae_inference(cfg, vae, vae_params, datamodule, vocab) -> int:
 
     for i, batch in enumerate(datamodule.predict_batches()):
         counts_pred, z = forward(
+            vae_params,
             jnp.asarray(batch[COUNTS]),
             jnp.asarray(batch["genes"]),
             jnp.asarray(batch["library_size"]),
