@@ -58,11 +58,20 @@ def main(argv=None) -> int:
     example = next(iter(datamodule.predict_batches()))
     vae, vae_params = load_vae_from_checkpoint(cfg, example)
 
+    # mesh-first inference (deliberate extension: the reference samples on one
+    # GPU, experiments/scripts/inference.py:69): with >1 device the batch axis
+    # shards over "data" and the same jitted programs run DP under GSPMD
+    from scldm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    if mesh is not None:
+        logger.info(f"inference mesh: {mesh}")
+
     if cfg.get("vae_only"):
         # reference models.VAE.inference parity: reconstruct + latents -> h5ad
-        return _vae_inference(cfg, vae, vae_params, datamodule, vocab)
+        return _vae_inference(cfg, vae, vae_params, datamodule, vocab, mesh=mesh)
     dit = build_dit(cfg)
-    task = build_ldm_task(cfg, vae, vae_params, dit, max_steps=1)
+    task = build_ldm_task(cfg, vae, vae_params, dit, max_steps=1, mesh=mesh)
     mgr = CheckpointManager(cfg["checkpoint_dir"])
     state = mgr.restore(task.init_state(jax.random.PRNGKey(0), example))
 
@@ -90,9 +99,9 @@ def main(argv=None) -> int:
                 for k, v in batch.items()
                 if k not in NON_CONDITION_KEYS and k in vocab.class_vocab_sizes
             }
-            counts, z = sample_fn(
-                state, jax.random.PRNGKey(1000 + i), jax.numpy.asarray(batch["genes"]), condition
-            )
+            genes = jax.numpy.asarray(batch["genes"])
+            condition, genes = _shard_inputs(mesh, condition, genes)
+            counts, z = sample_fn(state, jax.random.PRNGKey(1000 + i), genes, condition)
             half = len(batch["genes"])
             out = dict(batch)
             out[f"{COUNTS}_generated_unconditional"] = np.asarray(counts[:half])
@@ -120,6 +129,7 @@ def main(argv=None) -> int:
 
     for i, batch in enumerate(datamodule.predict_batches()):
         dev = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+        dev = _shard_batch_if_divisible(mesh, dev)
         z = encode(task.vae_params, dev)
         outputs = {"z": np.asarray(z)}
         if inf_args.get("reconstruct", True):
@@ -139,7 +149,38 @@ def main(argv=None) -> int:
     return 0
 
 
-def _vae_inference(cfg, vae, vae_params, datamodule, vocab) -> int:
+def _shard_inputs(mesh, condition, genes):
+    """Shard generation inputs' batch axis over the mesh "data" axis.
+    Batches that don't divide the axis (e.g. a short final batch) stay
+    replicated — GSPMD still runs them, just without the DP split."""
+    if mesh is None:
+        return condition, genes
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+    bsz = genes.shape[0] if genes.ndim == 2 else (
+        next(iter(condition.values())).shape[0] if condition else 0
+    )
+    if not bsz or bsz % n_data:
+        return condition, genes
+    put = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    condition = {k: put(v, P("data")) for k, v in condition.items()}
+    genes = put(genes, P("data", None) if genes.ndim == 2 else P())
+    return condition, genes
+
+
+def _shard_batch_if_divisible(mesh, dev: dict):
+    if mesh is None or not dev:
+        return dev
+    from scldm_tpu.parallel.mesh import shard_batch
+
+    bsz = next(iter(dev.values())).shape[0]
+    if bsz % mesh.shape["data"]:
+        return dev
+    return shard_batch(dev, mesh)
+
+
+def _vae_inference(cfg, vae, vae_params, datamodule, vocab, mesh=None) -> int:
     """Encode + reconstruct every predict batch with the VAE alone
     (reference models.VAE.inference, models.py:352-381)."""
     import jax.numpy as jnp
@@ -163,13 +204,21 @@ def _vae_inference(cfg, vae, vae_params, datamodule, vocab) -> int:
         return counts_pred, z
 
     for i, batch in enumerate(datamodule.predict_batches()):
+        dev = {
+            "counts": jnp.asarray(batch[COUNTS]),
+            "genes": jnp.asarray(batch["genes"]),
+            "library_size": jnp.asarray(batch["library_size"]),
+            "counts_subset": jnp.asarray(batch.get("counts_subset", batch[COUNTS])),
+            "genes_subset": jnp.asarray(batch.get("genes_subset", batch["genes"])),
+        }
+        dev = _shard_batch_if_divisible(mesh, dev)
         counts_pred, z = forward(
             vae_params,
-            jnp.asarray(batch[COUNTS]),
-            jnp.asarray(batch["genes"]),
-            jnp.asarray(batch["library_size"]),
-            jnp.asarray(batch.get("counts_subset", batch[COUNTS])),
-            jnp.asarray(batch.get("genes_subset", batch["genes"])),
+            dev["counts"],
+            dev["genes"],
+            dev["library_size"],
+            dev["counts_subset"],
+            dev["genes_subset"],
             jax.random.PRNGKey(i),
         )
         outputs = {"reconstructed_counts": np.asarray(counts_pred), "z": np.asarray(z)}
