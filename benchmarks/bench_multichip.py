@@ -110,6 +110,96 @@ def run_point(config_name: str, n_data: int, n_model: int, steps: int) -> dict:
     }
 
 
+def run_generation_point(config_name: str, n_data: int, num_steps: int) -> dict:
+    """DP CFG-generation scaling: the one jitted noise -> CFG ODE -> decode ->
+    NB program (LDMTask.make_sample_fn) with the condition batch sharded over
+    "data". The reference samples single-device (experiments/scripts/
+    inference.py:69); this measures the mesh-first extension."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scldm_tpu.nn.nnets import DiT
+    from scldm_tpu.nn.vae import build_transformer_vae
+    from scldm_tpu.parallel.mesh import make_mesh
+    from scldm_tpu.sampling.size_factors import SizeFactorSampler
+    from scldm_tpu.training.ldm_task import LDMTask
+    from scldm_tpu.training.vae_task import VAETask
+    from scldm_tpu.transport import create_transport
+
+    cfg = CONFIGS[config_name]
+    devices = jax.devices()[:n_data]
+    mesh = make_mesh(n_data=n_data, n_model=1, devices=devices) if n_data > 1 else None
+
+    vae = build_transformer_vae(
+        n_genes=cfg["n_genes"], dtype=jnp.bfloat16, **cfg["model"]
+    )
+    vae_task = VAETask(vae, num_training_steps=10, mesh=mesh)
+    global_batch = cfg["batch"] * n_data
+    batch = synth_batch(
+        np.random.default_rng(0), global_batch, cfg["n_genes"], cfg["seq_len"]
+    )
+    batch["clusters"] = (
+        np.random.default_rng(2).integers(0, 14, global_batch).astype(np.int64)
+    )
+    vstate = vae_task.init_state(jax.random.PRNGKey(0), batch)
+
+    tiny = config_name == "tiny"
+    dit = DiT(
+        n_embed=32 if tiny else 256, n_layer=2 if tiny else 8,
+        n_head=2 if tiny else 8,
+        n_embed_input=vae.encoder.latent_embedding,
+        seq_len=vae.encoder.n_inducing_points,
+        class_vocab_sizes={"clusters": 14}, cfg_dropout_prob=0.8,
+        dtype=jnp.bfloat16,
+    )
+    ldm = LDMTask(
+        vae, vstate.params, dit, create_transport(), num_training_steps=10,
+        mesh=mesh,
+    )
+    state = ldm.init_state(jax.random.PRNGKey(1), batch)
+
+    class _Stats:  # minimal size-factor stats carrier (see __graft_entry__)
+        mu_size_factor = {"clusters": {i: 6.0 for i in range(14)}}
+        sd_size_factor = {"clusters": {i: 0.1 for i in range(14)}}
+        joint_key = None
+        joint_components = None
+        joint_idx_2_classes = None
+        class_vocab_sizes = {"clusters": 14}
+
+    sample = ldm.make_sample_fn(
+        SizeFactorSampler(_Stats()), guidance_weight={"clusters": 1.5},
+        sampling_method="euler", num_steps=num_steps, use_ema=False,
+    )
+    genes_row = jnp.arange(1, cfg["n_genes"] + 1)  # 1-D canonical query row
+    clusters = jnp.asarray(
+        np.random.default_rng(1).integers(0, 14, global_batch)
+    )
+    if mesh is not None:
+        clusters = jax.device_put(clusters, NamedSharding(mesh, P("data")))
+    cond = {"clusters": clusters}
+
+    counts, _ = sample(state, jax.random.PRNGKey(2), genes_row, cond)  # compile
+    assert np.isfinite(float(counts.ravel()[0]))
+    best = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        counts, _ = sample(state, jax.random.PRNGKey(3 + r), genes_row, cond)
+        _ = float(counts.ravel()[0])  # scalar-fetch device sync
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "config": f"{config_name}_generation",
+        "mesh": [n_data, 1],
+        "devices": n_data,
+        "global_batch": global_batch,
+        "ms_per_batch": round(best * 1e3, 2),
+        # doubled batch: unconditional + conditional halves
+        "cells_per_sec": round(2 * global_batch / best, 1),
+        "platform": jax.default_backend(),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--virtual", type=int, default=0,
@@ -117,6 +207,10 @@ def main(argv=None):
     ap.add_argument("--configs", nargs="+", default=["dentate"],
                     choices=list(CONFIGS), help="which model configs to sweep")  # noqa: E501
     ap.add_argument("--steps", type=int, default=10, help="steps fused per dispatch")
+    ap.add_argument("--generation", action="store_true",
+                    help="also sweep DP CFG-generation throughput")
+    ap.add_argument("--gen-steps", type=int, default=16,
+                    help="denoiser steps for the generation sweep")
     ap.add_argument("--max-devices", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -137,7 +231,9 @@ def main(argv=None):
             "from benchmarks.bench_multichip import main; main()"
         )
         child = [sys.executable, "-c", code, "--configs", *args.configs,
-                 "--steps", str(args.steps)]
+                 "--steps", str(args.steps), "--gen-steps", str(args.gen_steps)]
+        if args.generation:
+            child += ["--generation"]
         if args.max_devices:
             child += ["--max-devices", str(args.max_devices)]
         raise SystemExit(subprocess.run(
@@ -166,6 +262,14 @@ def main(argv=None):
             r["scaling_vs_1dev"] = round(r["cells_per_sec"] / base, 2)
             results.append(r)
             print(json.dumps(r), flush=True)
+        if args.generation:
+            gbase = None
+            for d in sweep:
+                r = run_generation_point(config, n_data=d, num_steps=args.gen_steps)
+                gbase = gbase or r["cells_per_sec"]
+                r["scaling_vs_1dev"] = round(r["cells_per_sec"] / gbase, 2)
+                results.append(r)
+                print(json.dumps(r), flush=True)
     if jax.default_backend() != "tpu":
         print(json.dumps({"note": "non-TPU platform: treat numbers as "
                           "compile/execute validation only"}), flush=True)
