@@ -49,3 +49,60 @@ def test_checkpoint_rejects_host_local_dir_multiprocess(tmp_path):
     # single-process: /tmp is fine (the whole test suite relies on it)
     mgr = CheckpointManager(tmp_path / "ok")
     mgr.close()
+
+
+class TestInferenceShardingHelpers:
+    """Mesh-first inference input sharding (cli/inference.py): divisible
+    batches shard over "data", short final batches stay replicated."""
+
+    def _mesh(self):
+        import jax
+        from scldm_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(devices=jax.devices()[:4])
+
+    def test_divisible_inputs_shard_over_data(self):
+        import jax.numpy as jnp
+        from scldm_tpu.cli.inference import _shard_inputs
+
+        mesh = self._mesh()
+        cond = {"clusters": jnp.arange(8)}
+        genes = jnp.ones((8, 16), jnp.int32)
+        cond2, genes2 = _shard_inputs(mesh, cond, genes)
+        assert "data" in str(cond2["clusters"].sharding.spec)
+        assert "data" in str(genes2.sharding.spec)
+
+    def test_canonical_gene_row_replicates(self):
+        import jax.numpy as jnp
+        from scldm_tpu.cli.inference import _shard_inputs
+
+        mesh = self._mesh()
+        cond = {"clusters": jnp.arange(8)}
+        genes = jnp.arange(1, 17)  # 1-D canonical row: batch-free
+        cond2, genes2 = _shard_inputs(mesh, cond, genes)
+        assert "data" in str(cond2["clusters"].sharding.spec)
+        assert "data" not in str(genes2.sharding.spec)
+
+    def test_short_final_batch_stays_replicated(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from scldm_tpu.cli.inference import _shard_inputs, _shard_batch_if_divisible
+
+        mesh = self._mesh()
+        cond = {"clusters": jnp.arange(6)}  # 6 % 4 != 0
+        genes = jnp.ones((6, 16), jnp.int32)
+        cond2, genes2 = _shard_inputs(mesh, cond, genes)
+        assert "data" not in str(getattr(cond2["clusters"].sharding, "spec", ""))
+        dev = {"counts": jnp.ones((6, 16))}
+        dev2 = _shard_batch_if_divisible(mesh, dev)
+        assert "data" not in str(getattr(dev2["counts"].sharding, "spec", ""))
+        np.testing.assert_array_equal(np.asarray(dev2["counts"]), np.asarray(dev["counts"]))
+
+    def test_batch_dict_shards_when_divisible(self):
+        import jax.numpy as jnp
+        from scldm_tpu.cli.inference import _shard_batch_if_divisible
+
+        mesh = self._mesh()
+        dev = {"counts": jnp.ones((8, 16)), "library_size": jnp.ones((8, 1))}
+        dev2 = _shard_batch_if_divisible(mesh, dev)
+        assert all("data" in str(v.sharding.spec) for v in dev2.values())
