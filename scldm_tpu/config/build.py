@@ -62,6 +62,7 @@ def build_datamodule(
         drop_incomplete_batch=dm.get("drop_incomplete_batch", True),
         max_cache_size=dm.get("max_cache_size", 10),
         prefetch=dm.get("prefetch", 4),
+        workers=int(dm.get("workers", 1)),
         num_hosts=num_hosts,
         host_index=host_index,
         allow_missing_train=dm.get("allow_missing_train", False),

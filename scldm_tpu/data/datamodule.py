@@ -131,6 +131,7 @@ class DataModule:
         num_hosts: int = 1,
         host_index: int = 0,
         prefetch: int = 4,
+        workers: int = 1,
         allow_missing_train: bool = False,
         dense_transfer: bool = True,
         lean_uint16: bool = True,
@@ -152,6 +153,11 @@ class DataModule:
         self.num_hosts = num_hosts
         self.host_index = host_index
         self.prefetch = prefetch
+        # >1: a thread pool tokenizes/packs batches concurrently (h5py reads
+        # serialize on its internal lock; the ctypes packer and casts release
+        # the GIL). Batch ORDER is identical to workers=1 — determinism parity
+        # is tested (tests/test_data.py).
+        self.workers = workers
         self.allow_missing_train = allow_missing_train
         # False: omit the dense counts/genes from batches ("expressed" only) —
         # the train step rebuilds them on device (ops.transforms.densify_expressed)
@@ -402,13 +408,39 @@ class DataModule:
 
         post = self._make_lean if lean else (lambda b: b)
 
+        def make(i):
+            return post(
+                self._make_batch(
+                    specs[i], seed=self.seed + epoch * 100_003 + int(i), lean=lean
+                )
+            )
+
         if self.prefetch <= 0:
             for i in order:
-                yield post(
-                    self._make_batch(
-                        specs[i], seed=self.seed + epoch * 100_003 + int(i), lean=lean
-                    )
+                yield make(i)
+            return
+
+        if self.workers > 1:
+            # order-preserving windowed thread pool: up to `window` batches in
+            # flight, yielded in the exact workers=1 sequence (host partition,
+            # shuffle, and tokenizer seeding are all per-spec, so batches are
+            # bit-identical to the single-worker path)
+            import itertools
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            window = max(self.prefetch, self.workers)
+            with ThreadPoolExecutor(max_workers=self.workers) as ex:
+                it = iter(order)
+                pending = deque(
+                    ex.submit(make, i) for i in itertools.islice(it, window)
                 )
+                while pending:
+                    batch = pending.popleft().result()
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        pending.append(ex.submit(make, nxt))
+                    yield batch
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

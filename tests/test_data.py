@@ -367,6 +367,40 @@ class TestDataModule:
         p = [b["counts"].sum() for b in dm_pre.train_batches(0)]
         np.testing.assert_allclose(s, p)
 
+    def test_worker_pool_bit_identical_to_sync(self, tmp_path, rng):
+        """workers>1 assembles batches concurrently but must reproduce the
+        workers=1 stream exactly: same order, same bytes (per-spec seeding,
+        order-preserving future window)."""
+        _write_dataset(tmp_path, rng, n=96)
+        dm_sync = self._dm(tmp_path, prefetch=0)
+        dm_pool = self._dm(tmp_path, prefetch=2, workers=4)
+        for epoch in (0, 1):
+            sync_batches = list(dm_sync.train_batches(epoch))
+            pool_batches = list(dm_pool.train_batches(epoch))
+            assert len(sync_batches) == len(pool_batches)
+            for a, b in zip(sync_batches, pool_batches):
+                assert set(a) == set(b)
+                for k in a:
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    def test_worker_pool_random_strategy_stays_deterministic(self, tmp_path, rng):
+        """The seeded "random" tokenizer strategy must give the same draw no
+        matter which thread materializes the batch."""
+        _write_dataset(tmp_path, rng, n=64)
+        dm_sync = self._dm(tmp_path, prefetch=0, sample_genes="random", genes_seq_len=10)
+        dm_pool = self._dm(tmp_path, prefetch=2, workers=3, sample_genes="random",
+                           genes_seq_len=10)
+        for a, b in zip(dm_sync.train_batches(0), dm_pool.train_batches(0)):
+            np.testing.assert_array_equal(a["genes"], b["genes"])
+            np.testing.assert_array_equal(a["counts"], b["counts"])
+
+    def test_worker_pool_propagates_errors(self, tmp_path, rng):
+        _write_dataset(tmp_path, rng, n=64)
+        dm = self._dm(tmp_path, prefetch=2, workers=3)
+        dm.genes_seq_len = -1  # poison: tokenizer must raise inside a worker
+        with pytest.raises(Exception):
+            list(dm.train_batches(0))
+
 
 def test_train_val_split_list_semantics():
     files = [f"f{i}" for i in range(20)]
