@@ -107,11 +107,14 @@ def _e2e_dataset_path() -> Path:
 
     from scldm_tpu.data.h5ad import write_h5ad
 
-    root = Path("/tmp/scldm_bench_e2e")
+    # cache keyed by cell count so callers that resize E2E_CELLS (e.g.
+    # benchmarks/bench_loader.py --cells) never reuse a differently-sized file
+    root = Path(f"/tmp/scldm_bench_e2e_{E2E_CELLS}")
     path = root / "dentate_synth.h5ad"
     meta = root / "meta.json"
     if path.exists() and meta.exists():
         return root
+    root.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(7)
     indptr = np.zeros(E2E_CELLS + 1, np.int64)
     idx_chunks, dat_chunks = [], []

@@ -24,18 +24,10 @@ K = 10
 
 
 def synth_batch(rng):
-    genes_sub = np.zeros((BATCH, SEQ_LEN), np.uint16)
-    counts_sub = np.zeros((BATCH, SEQ_LEN), np.uint16)
-    for i in range(BATCH):
-        nnz = int(rng.integers(1500, 4000))
-        idx = np.sort(rng.choice(N_GENES, size=nnz, replace=False))
-        genes_sub[i, :nnz] = idx + 1
-        counts_sub[i, :nnz] = rng.poisson(3.0, size=nnz) + 1
-    return {
-        "genes_subset": genes_sub,
-        "counts_subset": counts_sub,
-        "library_size": counts_sub.astype(np.float32).sum(1, keepdims=True),
-    }
+    from benchmarks.bench_census import synth_batch as _canonical
+
+    # dentate-gyrus-like sparsity (~2k expressed of 17k genes)
+    return _canonical(rng, BATCH, N_GENES, SEQ_LEN, nnz_range=(1500, 4000))
 
 
 def run(fused_trunk: bool) -> float:

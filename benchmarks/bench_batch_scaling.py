@@ -27,20 +27,9 @@ SHAPES = {
 
 
 def synth_batch(rng, batch, n_genes, seq_len, nnz_range):
-    import numpy as np
+    from benchmarks.bench_census import synth_batch as _canonical
 
-    genes_sub = np.zeros((batch, seq_len), np.uint16)
-    counts_sub = np.zeros((batch, seq_len), np.uint16)
-    for i in range(batch):
-        nnz = int(rng.integers(*nnz_range))
-        idx = np.sort(rng.choice(n_genes, size=nnz, replace=False))
-        genes_sub[i, :nnz] = idx + 1
-        counts_sub[i, :nnz] = rng.poisson(3.0, size=nnz) + 1
-    return {
-        "genes_subset": genes_sub,
-        "counts_subset": counts_sub,
-        "library_size": counts_sub.astype(np.float32).sum(1, keepdims=True),
-    }
+    return _canonical(rng, batch, n_genes, seq_len, nnz_range=nnz_range)
 
 
 def run_point(config: str, batch_size: int, steps: int) -> dict:

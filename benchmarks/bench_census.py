@@ -25,11 +25,15 @@ import numpy as np
 V5E_BF16_PEAK_TFLOPS = 197.0  # per chip
 
 
-def synth_batch(rng, batch, n_genes, seq_len):
+def synth_batch(rng, batch, n_genes, seq_len, nnz_range=None):
+    """Canonical lean-wire synthetic batch (uint16 subsets + library sizes) —
+    the one copy every benchmark imports; nnz_range defaults to a mostly-full
+    window (census-like density)."""
+    lo, hi = nnz_range or (seq_len // 2, seq_len)
     genes_sub = np.zeros((batch, seq_len), np.uint16)
     counts_sub = np.zeros((batch, seq_len), np.uint16)
     for i in range(batch):
-        nnz = int(rng.integers(seq_len // 2, seq_len))
+        nnz = int(rng.integers(lo, hi))
         idx = np.sort(rng.choice(n_genes, size=nnz, replace=False))
         genes_sub[i, :nnz] = idx + 1
         counts_sub[i, :nnz] = rng.poisson(3.0, size=nnz) + 1

@@ -47,20 +47,10 @@ CONFIGS = {
 
 
 def synth_batch(rng, batch, n_genes, seq_len):
-    import numpy as np
+    from benchmarks.bench_census import synth_batch as _canonical
 
-    genes_sub = np.zeros((batch, seq_len), np.uint16)
-    counts_sub = np.zeros((batch, seq_len), np.uint16)
-    for i in range(batch):
-        nnz = int(rng.integers(seq_len // 4, seq_len - 1))
-        idx = np.sort(rng.choice(n_genes, size=nnz, replace=False))
-        genes_sub[i, :nnz] = idx + 1
-        counts_sub[i, :nnz] = rng.poisson(3.0, size=nnz) + 1
-    return {
-        "genes_subset": genes_sub,
-        "counts_subset": counts_sub,
-        "library_size": counts_sub.astype(np.float32).sum(1, keepdims=True),
-    }
+    return _canonical(rng, batch, n_genes, seq_len,
+                      nnz_range=(seq_len // 4, seq_len - 1))
 
 
 def run_point(config_name: str, n_data: int, n_model: int, steps: int) -> dict:
@@ -160,16 +150,11 @@ def run_generation_point(config_name: str, n_data: int, num_steps: int) -> dict:
     )
     state = ldm.init_state(jax.random.PRNGKey(1), batch)
 
-    class _Stats:  # minimal size-factor stats carrier (see __graft_entry__)
-        mu_size_factor = {"clusters": {i: 6.0 for i in range(14)}}
-        sd_size_factor = {"clusters": {i: 0.1 for i in range(14)}}
-        joint_key = None
-        joint_components = None
-        joint_idx_2_classes = None
-        class_vocab_sizes = {"clusters": 14}
+    from scldm_tpu.sampling.size_factors import constant_stats
 
     sample = ldm.make_sample_fn(
-        SizeFactorSampler(_Stats()), guidance_weight={"clusters": 1.5},
+        SizeFactorSampler(constant_stats({"clusters": 14})),
+        guidance_weight={"clusters": 1.5},
         sampling_method="euler", num_steps=num_steps, use_ema=False,
     )
     genes_row = jnp.arange(1, cfg["n_genes"] + 1)  # 1-D canonical query row

@@ -28,19 +28,7 @@ K = 4
 V5E_BF16_PEAK = 197.0
 
 
-def synth_batch(rng, batch, n_genes, seq_len):
-    genes_sub = np.zeros((batch, seq_len), np.uint16)
-    counts_sub = np.zeros((batch, seq_len), np.uint16)
-    for i in range(batch):
-        nnz = int(rng.integers(seq_len // 2, seq_len))
-        idx = np.sort(rng.choice(n_genes, size=nnz, replace=False))
-        genes_sub[i, :nnz] = idx + 1
-        counts_sub[i, :nnz] = rng.poisson(3.0, size=nnz) + 1
-    return {
-        "genes_subset": genes_sub,
-        "counts_subset": counts_sub,
-        "library_size": counts_sub.astype(np.float32).sum(1, keepdims=True),
-    }
+from benchmarks.bench_census import synth_batch  # canonical lean-wire batch
 
 
 def _force(x):

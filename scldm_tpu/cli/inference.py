@@ -60,10 +60,14 @@ def main(argv=None) -> int:
 
     # mesh-first inference (deliberate extension: the reference samples on one
     # GPU, experiments/scripts/inference.py:69): with >1 device the batch axis
-    # shards over "data" and the same jitted programs run DP under GSPMD
+    # shards over "data" and the same jitted programs run DP under GSPMD.
+    # Single-process only: the predict loop loads whole global batches on one
+    # host (multi-host inference would need per-process batch assembly via
+    # make_array_from_process_local_data, as the training loop does).
     from scldm_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    single_process = jax.process_count() == 1
+    mesh = make_mesh() if (single_process and len(jax.devices()) > 1) else None
     if mesh is not None:
         logger.info(f"inference mesh: {mesh}")
 

@@ -81,7 +81,13 @@ def train_val_split_list(files: List[str], seed: int) -> Tuple[List[int], List[i
 
 
 class _ShardPool:
-    """LRU cache of open H5ADFile handles."""
+    """LRU cache of open H5ADFile handles.
+
+    Eviction only drops the pool's reference — it must NOT close() the
+    handle: with DataModule(workers>1) another thread may be mid-read on the
+    evicted file, and closing under it raises (or corrupts the read). The
+    h5py File closes itself when the last reference is garbage-collected, so
+    the open-handle count stays bounded by max_open + in-flight readers."""
 
     def __init__(self, max_open: int = 10):
         self.max_open = max_open
@@ -96,8 +102,7 @@ class _ShardPool:
             f = H5ADFile(path)
             self._cache[path] = f
             if len(self._cache) > self.max_open:
-                _, old = self._cache.popitem(last=False)
-                old.close()
+                self._cache.popitem(last=False)
             return f
 
 

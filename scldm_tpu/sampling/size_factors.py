@@ -16,6 +16,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def constant_stats(class_vocab_sizes: Dict[str, int], mu: float = 6.0, sd: float = 0.1):
+    """Minimal stats carrier: a SizeFactorSampler source with the same mu/sd
+    for every class — for benches, dryruns, and smoke tests that need a
+    sampler without metadata files."""
+
+    class _Stats:
+        mu_size_factor = {
+            k: {i: mu for i in range(n)} for k, n in class_vocab_sizes.items()
+        }
+        sd_size_factor = {
+            k: {i: sd for i in range(n)} for k, n in class_vocab_sizes.items()
+        }
+        joint_key = None
+        joint_components = None
+        joint_idx_2_classes = None
+
+    _Stats.class_vocab_sizes = dict(class_vocab_sizes)
+    return _Stats()
+
+
 class SizeFactorSampler:
     """Vectorized Normal(mu[class], sd[class]) sampler over condition labels."""
 

@@ -223,7 +223,7 @@ def fused_nb_apply(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     interpret: bool = False,
-    use_trunk: Optional[bool] = None,  # None = auto when the arch is eligible
+    use_trunk: Optional[bool] = False,  # opt-in (kernel measured a net loss, ROADMAP #1)
 ) -> Tuple[Dict[str, jax.Array], jax.Array]:
     """VAE forward with (a) the encoder input-embedding + MCAB pooling and
     (b) the decoder cross block + NB-head logit as fused Pallas kernels
@@ -240,10 +240,10 @@ def fused_nb_apply(
     )
 
     rngs = {"dropout": rng} if (train and rng is not None) else None
-    if use_trunk is None:
-        use_trunk = _fused_trunk_ok(vae)
-    else:
-        use_trunk = use_trunk and _fused_trunk_ok(vae)
+    # opt-in only: the whole-trunk kernel measured a net LOSS at reference
+    # shapes (ROADMAP #1), so nothing routes through it unless asked —
+    # mirroring VAETask(fused_trunk=True)'s explicit opt-in
+    use_trunk = bool(use_trunk) and _fused_trunk_ok(vae)
     if (
         _fused_encoder_ok(vae)
         and COUNTS in batch
@@ -375,12 +375,18 @@ def _fused_encoder_ok(vae: TransformerVAE) -> bool:
 def _fused_window_ok(vae: TransformerVAE) -> bool:
     """Window-input pooling (fused_window_pooling) consumes the embedding
     directly, so any agg_func qualifies; attention must be bias/dropout-free
-    (the kernel prep omits qkv biases). Width is NOT a constraint — the tile
-    sizes adapt (see fused_window_pooling) — but the kernel only pays off
-    when the (B, S, E) window is wide/long enough that XLA's materialized
-    attention chain dominates (census shapes), hence the explicit
-    `VAETask(fused_pool=True)` opt-in rather than auto-dispatch."""
-    return vae.encoder.dropout == 0.0 and not vae.encoder.bias
+    (the kernel prep omits qkv biases). Width gates on the two VALIDATED tile
+    geometries (fused_nb_apply's dispatch): (1024, 8) tiles at E<=128 and the
+    narrow (512, 8, 256) tiles at E>=256 — widths in between would ride the
+    wide-tile path with a 2-8x larger VMEM working set than anything
+    measured. The kernel only pays off when the (B, S, E) window is
+    wide/long enough that XLA's materialized attention chain dominates
+    (census shapes), hence the explicit `VAETask(fused_pool=True)` opt-in
+    rather than auto-dispatch."""
+    E = vae.encoder.n_embed
+    return vae.encoder.dropout == 0.0 and not vae.encoder.bias and (
+        E <= 128 or E >= 256
+    )
 
 
 def _dense_pool_worth_it(n_genes: int, window_len: int, block_g: int = 1024) -> bool:

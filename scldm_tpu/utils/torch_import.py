@@ -224,13 +224,10 @@ def load_reference_checkpoint(
     state_dict = payload.get("state_dict", payload)
     if component != "auto":
         prefix = COMPONENT_PREFIXES[component]
+        # ema-pytorch's bookkeeping buffers ("ema_model.initted",
+        # "ema_model.step") sit one level ABOVE the "ema_model.ema_model."
+        # weight prefix, so the startswith filter already excludes them
         state_dict = {
             k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)
         }
-        # guard the EMA buffers that live beside ema_model.ema_model.*
-        if component == "dit_ema":
-            state_dict = {
-                k: v for k, v in state_dict.items()
-                if k not in ("initted", "step")
-            }
     return import_torch_state_dict(state_dict, params_template, strict=strict)
