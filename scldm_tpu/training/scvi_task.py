@@ -67,6 +67,7 @@ class ScviTask:
             ),
         )
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_steps = jax.jit(self._train_steps_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
     def _materialize(self, batch: Dict) -> Dict:
@@ -143,6 +144,19 @@ class ScviTask:
             ),
             mets,
         )
+
+    def _train_steps_impl(self, state: TrainState, stacked: Dict):
+        """K optimizer steps in one compiled program (see VAETask.train_steps) —
+        amortizes dispatch latency the same way the other tasks do."""
+
+        def body(s, b):
+            return self._train_step_impl(s, b)
+
+        state, mets = jax.lax.scan(body, state, stacked)
+        return state, jax.tree_util.tree_map(lambda x: x.mean(), mets)
+
+    def train_steps(self, state: TrainState, stacked: Dict):
+        return self._train_steps(state, stacked)
 
     def _apply(self, params, batch_stats, batch, rng, train: bool):
         batch = self._materialize(batch)

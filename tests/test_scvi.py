@@ -58,3 +58,29 @@ def test_scvi_eval_and_sample():
     counts = task.sample(state, jax.random.PRNGKey(3), batch["library_size"])
     assert counts.shape == batch["counts"].shape
     assert (np.asarray(counts) >= 0).all()
+
+
+def test_scvi_train_steps_matches_sequential():
+    """K-fused dispatch (lax.scan) reproduces K sequential train_step calls —
+    same contract as VAETask/LDMTask.train_steps (dispatch amortization)."""
+    K = 3
+    batch = _batch(jax.random.PRNGKey(0))
+
+    t1 = build_scvi_task(_cfg(), max_steps=50)
+    s1 = t1.init_state(jax.random.PRNGKey(1), batch)
+    losses = []
+    for _ in range(K):
+        s1, m = t1.train_step(s1, batch)
+        losses.append(float(m["train_loss"]))
+
+    t2 = build_scvi_task(_cfg(), max_steps=50)
+    s2 = t2.init_state(jax.random.PRNGKey(1), batch)
+    stacked = jax.tree_util.tree_map(lambda x: jnp.stack([x] * K), batch)
+    s2, m2 = t2.train_steps(s2, stacked)
+
+    assert int(s2.step) == int(s1.step) == K
+    # scan returns the per-step mean; same rng chain -> same trajectory
+    np.testing.assert_allclose(float(m2["train_loss"]), np.mean(losses), rtol=1e-5)
+    la = jax.tree_util.tree_leaves(s1.params)[0]
+    lb = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-6)
