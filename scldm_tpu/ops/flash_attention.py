@@ -23,39 +23,51 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_kv: int, scale: float):
-    """One (batch*head, q_block) program: stream over kv blocks."""
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, kv_len: int, block_kv: int, scale: float, n_kv: int,
+):
+    """One (batch*head, q_block, kv_block) program. The kv axis is the
+    innermost (sequential) grid dimension, so only ONE (block_kv, D) k/v tile
+    is VMEM-resident at a time — true streaming, VMEM footprint independent
+    of S. The running softmax state (m, l, acc) persists in VMEM scratch
+    across the kv steps of each q block."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr[...], _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr[...])
+        acc_scr[...] = jnp.zeros_like(acc_scr[...])
+
     q = q_ref[0].astype(jnp.float32) * scale  # (BM, D)
-    bm = q.shape[0]
-    d = q.shape[1]
-    num_kv_blocks = pl.cdiv(kv_len, block_kv)
+    k = k_ref[0].astype(jnp.float32)  # (BK, D)
+    v = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BM, BK)
+    # mask padded tail keys of the last block
+    kv_ids = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
 
-    def body(i, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)  # (BK, D)
-        v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BM, BK)
-        # mask padded tail keys of the last block
-        kv_ids = i * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
+    m_prev = m_scr[...][:, :1]  # lanes hold copies; column 0 is the value
+    l_prev = l_scr[...][:, :1]
+    acc = acc_scr[...]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
 
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[...] = acc_new
 
-    m0 = jnp.full((bm, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bm, 1), jnp.float32)
-    acc0 = jnp.zeros((bm, d), jnp.float32)
-    _, l_fin, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l_fin).astype(o_ref.dtype)
+    @pl.when(j == n_kv - 1)
+    def _():
+        o_ref[0] = (acc_new / l_new).astype(o_ref.dtype)
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from scldm_tpu.ops.tiling import round_up as _round_up  # shared tiling arithmetic
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
@@ -90,17 +102,25 @@ def flash_attention(
     kf = jnp.pad(kf, ((0, 0), (0, Sp - S), (0, Dp - D)))
     vf = jnp.pad(vf, ((0, 0), (0, Sp - S), (0, Dp - D)))
 
-    grid = (B * H, Mp // bq)
+    n_kv = Sp // bkv
+    grid = (B * H, Mp // bq, n_kv)  # kv innermost: sequential, scratch carries
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, kv_len=S, block_kv=bkv, scale=scale),
+        functools.partial(
+            _flash_kernel, kv_len=S, block_kv=bkv, scale=scale, n_kv=n_kv
+        ),
         out_shape=jax.ShapeDtypeStruct((B * H, Mp, Dp), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, Dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, Dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, Dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, bq, Dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),  # m (running max; lanes = copies)
+            pltpu.VMEM((bq, 128), jnp.float32),  # l (running denominator)
+            pltpu.VMEM((bq, Dp), jnp.float32),  # acc (unnormalized output)
+        ],
         interpret=interpret,
     )(qf, kf, vf)
 

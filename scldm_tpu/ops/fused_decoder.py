@@ -207,13 +207,7 @@ def pack_weights(
     )
 
 
-def _pad_axis(x, axis, mult):
-    pad = (-x.shape[axis]) % mult
-    if pad:
-        widths = [(0, 0)] * x.ndim
-        widths[axis] = (0, pad)
-        x = jnp.pad(x, widths)
-    return x
+from scldm_tpu.ops.tiling import pad_axis as _pad_axis  # shared tiling arithmetic
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))

@@ -170,13 +170,7 @@ def _bwd_kernel(
         accum(ref, g, first_all)
 
 
-def _pad_axis(x, axis, mult):
-    pad = (-x.shape[axis]) % mult
-    if pad:
-        widths = [(0, 0)] * x.ndim
-        widths[axis] = (0, pad)
-        x = jnp.pad(x, widths)
-    return x
+from scldm_tpu.ops.tiling import pad_axis as _pad_axis  # shared tiling arithmetic
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
@@ -488,8 +482,20 @@ def _wfused_bwd(scale, eps, block_s, block_b, bwd_block_s, interpret, res, cts):
     dnum, dden, _dm = cts
     B, S, E = emb.shape
     QH = qfull.shape[0]
-    bs, bb = min(bwd_block_s or block_s, S), min(block_b, B)
-    emb_p = _pad_axis(_pad_axis(emb, 1, bs), 0, bb)
+    bb = min(block_b, B)
+    # The function being differentiated is the FORWARD's: it includes exactly
+    # (roundup(S, fwd bs) - S) zero-emb pad rows, whose contributions the
+    # caller's closed-form correction (and its autodiff) assumes. The backward
+    # must pad the token axis to that SAME length — a different roundup (e.g.
+    # bwd_block_s=256 vs block_s=512 with S%512 in [1,256]) silently biases
+    # every weight/query gradient by the differing pad rows' vjp terms. The
+    # smaller bwd tile then subdivides the forward-padded length; if it
+    # doesn't divide it, fall back to the forward tile (correctness first).
+    bs_f = min(block_s, S)
+    emb_p = _pad_axis(_pad_axis(emb, 1, bs_f), 0, bb)
+    bs = min(bwd_block_s or bs_f, emb_p.shape[1])
+    if emb_p.shape[1] % bs:
+        bs = bs_f
     m_p = _pad_axis(m, 0, bb)
     dnum_p = _pad_axis(dnum, 0, bb)
     dden_p = _pad_axis(dden, 0, bb)

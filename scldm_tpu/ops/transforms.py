@@ -100,7 +100,10 @@ def canonical_gene_ids(n_genes: int) -> jax.Array:
 
 def log1p_cpm(counts: jax.Array, library_size: jax.Array | None = None) -> jax.Array:
     """log1p(counts / library * 10_000) — the scaling used throughout the
-    reference validation metrics (models.py:240,321-322,899-900)."""
+    reference validation metrics (models.py:240,321-322,899-900).
+
+    An all-zero row (possible for NB-sampled counts or after gene subsetting)
+    has library 0; guard the division so it maps to zeros, not NaN."""
     if library_size is None:
         library_size = counts.sum(axis=-1, keepdims=True)
-    return jnp.log1p(counts / library_size * 10_000.0)
+    return jnp.log1p(counts / jnp.maximum(library_size, 1e-8) * 10_000.0)

@@ -313,8 +313,10 @@ def fused_nb_apply(
         head["params"]["kernel"],
         head["params"]["bias"],
     )
+    # tile sizes: fused_decoder_tail's defaults are the swept-fastest ones
+    # (bwd_block_g=1024 measured 15.9 vs 17.3 ms at the old (256, 8))
     logits = fused_decoder_tail(
-        qp, q, kfull, vproj, weights, n_head, eps, 512, 16, 256, 8, interpret
+        qp, q, kfull, vproj, weights, n_head, eps, interpret=interpret
     )  # (B, G) f32
 
     theta = jnp.exp(head["theta"]["embedding"][1:, 0].astype(jnp.float32))  # (G,)

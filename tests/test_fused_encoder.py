@@ -205,6 +205,24 @@ def test_window_pooling_census_width_tiles():
     gmag = float(jnp.abs(g_m).max()) + 1e-30
     assert float(jnp.abs(g_f - g_m).max()) < 0.03 * gmag
 
+    # PARAM gradients at this exact shape pin the fwd/bwd pad-length contract:
+    # s=600 rounds to 1024 under the forward's 512-token tiles but to 768
+    # under the backward's 256-token tiles — a backward that pads to its own
+    # roundup differentiates a function with 256 fewer zero-emb rows than the
+    # forward computed, biasing every weight/query gradient (while demb, cut
+    # back to [:B, :S], stays clean — which is why the emb check above could
+    # not catch it).
+    import flax
+
+    gp_m = jax.grad(lambda p, e: via_module(p, e)[1])(state.params, emb)
+    gp_f = jax.grad(lambda p, e: via_kernel(p, e)[1])(state.params, emb)
+    flat_m = flax.traverse_util.flatten_dict(gp_m["params"])
+    flat_f = flax.traverse_util.flatten_dict(gp_f["params"])
+    for key in flat_m:
+        a, b_ = np.asarray(flat_m[key]), np.asarray(flat_f[key])
+        denom = np.abs(a).max() + 1e-30
+        assert np.abs(b_ - a).max() < 0.03 * denom + 1e-6, "/".join(key)
+
 
 def test_vae_task_fused_pool_step_matches_default():
     """`VAETask(fused_pool=True)` (the census --fused-pool path) must produce
