@@ -398,6 +398,15 @@ class LDMTask:
                 if use_ema:
                     dit_p = {"params": state_or_params.ema.params}
             else:
+                if use_ema:
+                    from scldm_tpu.utils.logger import logger
+
+                    logger.warning(
+                        "make_sample_fn(use_ema=True) got a raw params tree — "
+                        "EMA weights live on the TrainState, so sampling runs "
+                        "on the ONLINE weights. Pass the TrainState (or build "
+                        "with use_ema=False) to silence this."
+                    )
                 dit_p, vae_p = self._split_trees(state_or_params, self.vae_params)
             if batch_size is None:
                 if genes.ndim == 2:

@@ -49,22 +49,44 @@ class _StackBuffers:
 
 
 class CSVLogger:
+    """Append-only metrics CSV that tolerates heterogeneous rows.
+
+    Training and validation log DIFFERENT column sets through the same file
+    (train_loss/grad_norm/... vs val_loss/val_pcc/...), so the header cannot
+    be frozen from the first row: when a row introduces new columns, the file
+    is rewritten once with the widened header (files are small — one row per
+    log_every_steps). Missing cells stay empty."""
+
     def __init__(self, path: str | Path):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._fieldnames = None
+        self._fieldnames: Optional[list] = None
+        if self.path.exists():  # resume: adopt the existing header
+            with self.path.open(newline="") as f:
+                reader = csv.reader(f)
+                header = next(reader, None)
+            if header:
+                self._fieldnames = list(header)
 
     def log(self, row: Dict):
         row = {k: (float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v)
                for k, v in row.items()}
-        new_file = self._fieldnames is None and not self.path.exists()
         if self._fieldnames is None:
             self._fieldnames = list(row.keys())
-        with self.path.open("a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
-            if new_file:
+            with self.path.open("a", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._fieldnames).writeheader()
+        new_keys = [k for k in row if k not in self._fieldnames]
+        if new_keys:
+            widened = self._fieldnames + new_keys
+            with self.path.open(newline="") as f:
+                existing = list(csv.DictReader(f))
+            with self.path.open("w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=widened)
                 w.writeheader()
-            w.writerow(row)
+                w.writerows(existing)
+            self._fieldnames = widened
+        with self.path.open("a", newline="") as f:
+            csv.DictWriter(f, fieldnames=self._fieldnames).writerow(row)
 
 
 def fit(
@@ -113,7 +135,22 @@ def fit(
             if step >= max_steps:
                 break
             if steps_per_dispatch > 1 and hasattr(task, "train_steps"):
-                # amortize dispatch latency: K optimizer steps per compiled call
+                # amortize dispatch latency: K optimizer steps per compiled call.
+                # A ragged batch (short tail with drop_incomplete_batch=False)
+                # cannot stack with full-size ones — run the pending group's
+                # batches singly rather than crash in np.copyto, then let the
+                # short batch take the single-step path too.
+                if pending and batch["library_size"].shape[0] != (
+                    pending[0]["library_size"].shape[0]
+                ):
+                    for b in pending:
+                        if step >= max_steps:
+                            break
+                        dev_b = shard_batch(b, mesh) if mesh is not None else b
+                        state, metrics = task.train_step(state, dev_b)
+                        step += 1
+                        cells_seen += len(b["library_size"])
+                    pending = []
                 pending.append(batch)
                 if len(pending) < steps_per_dispatch:
                     continue

@@ -45,10 +45,20 @@ def wsd_schedule(
             )
         else:
             raise ValueError(f"decay type {decay_type} is not in ['cosine','sqrt']")
-        out = jnp.where(step < num_warmup_steps, warm, 1.0)
-        out = jnp.where(step >= n_hold, decayed, out)
-        out = jnp.where(step >= num_training_steps, final_lr_factor, out)
-        return out
+        # branch precedence must mirror the reference's if-chain
+        # (_utils.py wsd_schedule): warmup WINS over hold/decay even when
+        # n_hold < num_warmup_steps — with fract_decay=1.0 (the LDM default)
+        # n_hold is 0, and decay-first ordering would silently eliminate the
+        # warmup ramp entirely (lr_mult ~0.97 at step 0 instead of 0.01)
+        return jnp.where(
+            step < num_warmup_steps,
+            warm,
+            jnp.where(
+                step < n_hold,
+                1.0,
+                jnp.where(step < num_training_steps, decayed, final_lr_factor),
+            ),
+        )
 
     return schedule
 

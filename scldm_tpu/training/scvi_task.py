@@ -85,6 +85,8 @@ class ScviTask:
         out = dict(batch)
         out[COUNTS] = counts
         out[GENES] = full_gene_row(counts.shape[0], n_genes)
+        if LIB not in out:  # lean batches: same backfill contract as VAETask
+            out[LIB] = counts.sum(1, keepdims=True)
         return out
 
     def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:

@@ -61,3 +61,31 @@ def test_tissue_tree_discovery(tmp_path, rng):
     assert len(files) == 4  # 3 shards per tissue minus the last one each
     assert total == 2 * (24 - 8)
     assert shard == 8
+
+
+def test_csv_logger_heterogeneous_rows(tmp_path):
+    """Training and validation log different column sets through one file; the
+    header must widen (and earlier rows re-align) instead of silently dropping
+    every later column set (the old frozen-fieldnames + extrasaction='ignore'
+    combination lost ALL validation metrics when a train row came first)."""
+    import csv
+
+    from scldm_tpu.training.loop import CSVLogger
+
+    path = tmp_path / "metrics.csv"
+    log = CSVLogger(path)
+    log.log({"step": 1, "train_loss": 0.5, "grad_norm": 1.2})
+    log.log({"step": 2, "val_loss": 0.4, "val_pcc": 0.9})
+    log.log({"step": 3, "train_loss": 0.3, "grad_norm": 1.0})
+
+    rows = list(csv.DictReader(path.open()))
+    assert set(rows[1]) >= {"step", "train_loss", "grad_norm", "val_loss", "val_pcc"}
+    assert rows[1]["val_loss"] == "0.4" and rows[1]["val_pcc"] == "0.9"
+    assert rows[0]["train_loss"] == "0.5" and rows[0]["val_loss"] == ""
+    assert rows[2]["train_loss"] == "0.3"
+
+    # resume into the existing file: header adopted, no duplicate header row
+    log2 = CSVLogger(path)
+    log2.log({"step": 4, "val_loss": 0.2})
+    rows = list(csv.DictReader(path.open()))
+    assert len(rows) == 4 and rows[3]["val_loss"] == "0.2"

@@ -58,6 +58,30 @@ class TestWSD:
         s = wsd_schedule(1000, num_warmup_steps=0, fract_decay=1.0, decay_type="cosine")
         assert float(s(500)) == pytest.approx(0.1 + 0.9 * 0.5, rel=1e-4)
 
+    def test_warmup_wins_when_decay_spans_everything(self):
+        """The LDM defaults (fract_decay=1.0 -> n_hold=0, 10% warmup): the
+        reference's if-chain gives warmup precedence over the decay branch, so
+        step 0 must start at 1/init_div_factor — NOT at the near-peak cosine
+        value (a decay-first where() ordering silently eliminated warmup)."""
+        import math
+
+        W, T = 100, 1000
+        s = wsd_schedule(T, num_warmup_steps=W, fract_decay=1.0, decay_type="cosine")
+
+        def reference(step):  # _utils.py:42-57 verbatim semantics
+            if step < W:
+                return (step / W) + (1 - step / W) / 100
+            elif step < 0:  # n_hold = 0
+                return 1.0
+            elif step < T:
+                p = (step - W) / (T - W)
+                return 0.1 + 0.9 * 0.5 * (1 + math.cos(math.pi * p))
+            return 0.1
+
+        for step in (0, 1, 50, 99, 100, 101, 500, 999, 1000, 1500):
+            assert float(s(step)) == pytest.approx(reference(step), rel=1e-5), step
+        assert float(s(0)) == pytest.approx(0.01)
+
 
 # ---------------------------------------------------------------------------
 # AdamWLegacy
