@@ -33,11 +33,14 @@ from scldm_tpu.data.tokenize import tokenize_cells
 
 
 def sort_h5ad_files(path: Path) -> List[str]:
-    """adata_0.h5ad, adata_1.h5ad, ... in numeric order (reference _utils.py:111-115)."""
-    return sorted(
-        [f.as_posix() for f in Path(path).glob("*.h5ad")],
-        key=lambda x: int(x.replace(".h5ad", "").split("_")[-1]),
-    )
+    """adata_0.h5ad, adata_1.h5ad, ... in numeric order (reference _utils.py:111-115);
+    files without a numeric _<n> suffix sort lexicographically after them."""
+
+    def key(x: str):
+        tail = x.replace(".h5ad", "").split("_")[-1]
+        return (0, int(tail), "") if tail.isdigit() else (1, 0, x)
+
+    return sorted([f.as_posix() for f in Path(path).glob("*.h5ad")], key=key)
 
 
 def get_tissue_adata_files(base_path: str | Path, split: str = "train"):
@@ -340,6 +343,14 @@ class DataModule:
                     batch[ModelEnum.COUNTS_SUBSET.value] = batch[
                         ModelEnum.COUNTS_SUBSET.value
                     ].astype(np.float32)
+                # condition columns must ride along here too — otherwise
+                # generation over an external AnnData silently runs fully
+                # unconditional (the CLI intersects batch keys with the vocab)
+                for label in self.vocabulary_encoder.class_vocab_sizes:
+                    try:
+                        batch[label] = self._encoded_labels(path, f, label)[lo:hi]
+                    except KeyError:  # external file may lack the column
+                        pass
                 return batch
 
         if self.sample_genes == "expressed" and f.is_csr(self.adata_attr, self.adata_key):
@@ -409,7 +420,14 @@ class DataModule:
         order = np.arange(len(specs))
         if shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(order)
-        order = order[self.host_index :: self.num_hosts]
+        # every host must yield the SAME number of batches per epoch: each
+        # train step is a global collective program, so a ragged
+        # [host::num_hosts] split (host 0 getting one extra spec) would have
+        # one process dispatch an extra collective at epoch end and deadlock
+        # the cluster. Truncate to the common multiple first — this also keeps
+        # steps_per_epoch exact for every host.
+        n_even = (len(order) // self.num_hosts) * self.num_hosts
+        order = order[:n_even][self.host_index :: self.num_hosts]
 
         post = self._make_lean if lean else (lambda b: b)
 
@@ -451,12 +469,26 @@ class DataModule:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # a plain q.put() would block FOREVER if the consumer abandons the
+            # iterator with the queue full (e.g. `next(iter(batches))` for an
+            # example batch): the finally's stop.set() cannot unblock it, and
+            # the thread + its queued batches leak for the process lifetime.
+            # Bounded-wait puts re-check the stop flag instead.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for i in order:
                     if stop.is_set():
                         return
-                    q.put(
+                    if not put(
                         post(
                             self._make_batch(
                                 specs[i],
@@ -464,11 +496,12 @@ class DataModule:
                                 lean=lean,
                             )
                         )
-                    )
+                    ):
+                        return
             except Exception as e:  # surface pipeline errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

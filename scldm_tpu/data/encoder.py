@@ -174,7 +174,18 @@ class VocabularyEncoder:
         )
 
     def encode_metadata(self, metadata: Sequence[str], label: str) -> np.ndarray:
-        return np.asarray([self.classes2idx[label].get(str(m)) for m in metadata])
+        """Categories -> indices. Unknown categories fail HERE with a named
+        error — a silent None would surface later as an opaque object-array
+        astype(int64) TypeError far from the cause."""
+        table = self.classes2idx[label]
+        out = [table.get(str(m)) for m in metadata]
+        if any(v is None for v in out):
+            unknown = sorted({str(m) for m, v in zip(metadata, out) if v is None})
+            raise KeyError(
+                f"unknown {label!r} categories (not in the training vocabulary): "
+                f"{unknown[:10]}{'...' if len(unknown) > 10 else ''}"
+            )
+        return np.asarray(out)
 
     def decode_metadata(self, indices: Sequence[int], label: str) -> np.ndarray:
         return np.asarray([self.idx2classes[label].get(int(i)) for i in indices])

@@ -66,8 +66,12 @@ def expressed_batch_from_csr(
         counts_sub.ravel()[flat] = data
         library = np.bincount(row_rep, weights=data, minlength=n).astype(np.float32)
 
+    # int64 to match tokenize_cells' "expressed" output exactly: a dataset
+    # mixing CSR and dense shards must emit ONE dtype per key, or every
+    # switch silently re-traces the jitted step (and multi-host runs reading
+    # differently-encoded files would trace different collective programs)
     out = {
-        GENES_SUBSET: genes_sub,
+        GENES_SUBSET: genes_sub.astype(np.int64, copy=False),
         COUNTS_SUBSET: counts_sub,
         LIBRARY_SIZE: library.reshape(n, 1),
     }

@@ -106,10 +106,23 @@ def _weighted(ctx: _Ctx) -> dict:
     means = getattr(ctx.encoder, "gene_means", None)
     if means is None:
         raise ValueError("encoder.metadata_genes must be set for weighted sampling")
+    # gene_means is stored in VOCABULARY order while ctx.counts columns follow
+    # the file's var order — align through the encoded gene row (token id =
+    # vocab index + 1). The reference divides unaligned
+    # (datamodule.py:695-700), which is only correct when the file order
+    # matches the metadata; this is the order-independent generalization
+    # (identical result when they match). Unknown genes (mask id 0) get inf
+    # mean -> sampled last; zero means guard the division.
+    means = np.asarray(means, np.float64)
+    aligned = np.where(
+        ctx.gene_row > 0,
+        np.maximum(means[np.clip(ctx.gene_row - 1, 0, len(means) - 1)], 1e-12),
+        np.inf,
+    )
     # inverse-mean scaling (reference datamodule.py:695-700), then the
     # exponential race: gene i "rings" at Exp(1)/p_i; taking ring order gives
     # a without-replacement sample distributed like sequential draws from p
-    p = (ctx.counts + 1) / means
+    p = (ctx.counts + 1) / aligned
     keys = ctx.rng.exponential(size=ctx.shape) / p  # p need not be normalized
     idx = np.argsort(keys, axis=1)[:, : ctx.seq_len]
     genes, counts = ctx.gather(idx)

@@ -142,7 +142,14 @@ class Encoder(nn.Module):
             # Pallas kernel (scldm_tpu.ops.fused_trunk); x is the pooled tokens
             return x
 
-        block_cls = nn.remat(Block) if self.remat else Block
+        block_cls = (
+            # deterministic must ride POSITIONALLY under remat: flax's
+            # lift forwards kwargs into jax.remat as traced values
+            # (static_argnums covers positionals only), and Dropout
+            # branches on the bool — a kwarg crashes at trace with
+            # dropout>0. Index 3 counts self, x, condition.
+            nn.remat(Block, static_argnums=(3,)) if self.remat else Block
+        )
         for i in range(self.n_layer):
             x = block_cls(
                 n_embed=self.n_embed,
@@ -153,7 +160,7 @@ class Encoder(nn.Module):
                 layernorm_eps=self.layernorm_eps,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, deterministic=not train)
+            )(x, None, not train)
 
         h = _dense(self.n_embed_latent, self.bias, self.dtype, name="latent_proj")(x)
         h = LayerNormFP32(
@@ -214,7 +221,14 @@ class Decoder(nn.Module):
         )(x)
         x = _dense(self.n_embed, self.bias, self.dtype, name="latent_proj")(x)
 
-        block_cls = nn.remat(Block) if self.remat else Block
+        block_cls = (
+            # deterministic must ride POSITIONALLY under remat: flax's
+            # lift forwards kwargs into jax.remat as traced values
+            # (static_argnums covers positionals only), and Dropout
+            # branches on the bool — a kwarg crashes at trace with
+            # dropout>0. Index 3 counts self, x, condition.
+            nn.remat(Block, static_argnums=(3,)) if self.remat else Block
+        )
         for i in range(self.n_layer):
             x = block_cls(
                 n_embed=self.n_embed,
@@ -226,7 +240,7 @@ class Decoder(nn.Module):
                 use_adaln=self.use_adaln,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, condition=condition, deterministic=not train)
+            )(x, condition, not train)
 
         if trunk_only:
             # the caller runs the cross block + head as one fused Pallas kernel
@@ -319,8 +333,12 @@ def build_cfg_segments(x, t, condition, cfg_scale, class_vocab_sizes, strategy):
     if strategy == "joint":
         seg_x = jnp.concatenate([x, x[half:]])
         seg_t = jnp.concatenate([t, t[half:]])
+        # classes absent from the (possibly partial) condition ride as nulls
         seg_cond = {
-            n: jnp.concatenate([null(n, batch), condition[n][half:].astype(jnp.int32)])
+            n: jnp.concatenate([
+                null(n, batch),
+                condition[n][half:].astype(jnp.int32) if n in condition else null(n, half),
+            ])
             for n in class_names
         }
         scale_segments = [("__joint__", sum(cfg_scale.values()) / len(cfg_scale))]
@@ -333,7 +351,9 @@ def build_cfg_segments(x, t, condition, cfg_scale, class_vocab_sizes, strategy):
             cols = [null(n, batch)]
             for name in scale_names:
                 cols.append(
-                    condition[n][half:].astype(jnp.int32) if n == name else null(n, half)
+                    condition[n][half:].astype(jnp.int32)
+                    if n == name and n in condition
+                    else null(n, half)
                 )
             seg_cond[n] = jnp.concatenate(cols)
         scale_segments = [(name, cfg_scale[name]) for name in scale_names]
@@ -394,7 +414,14 @@ class DiT(nn.Module):
             for name in self.class_names
         }
         self.t_embedder = TimestepEmbedder(self.n_embed, dtype=self.dtype, name="t_embedder")
-        block_cls = nn.remat(Block) if self.remat else Block
+        block_cls = (
+            # deterministic must ride POSITIONALLY under remat: flax's
+            # lift forwards kwargs into jax.remat as traced values
+            # (static_argnums covers positionals only), and Dropout
+            # branches on the bool — a kwarg crashes at trace with
+            # dropout>0. Index 3 counts self, x, condition.
+            nn.remat(Block, static_argnums=(3,)) if self.remat else Block
+        )
         self.blocks = [
             block_cls(
                 n_embed=self.n_embed,
@@ -427,6 +454,17 @@ class DiT(nn.Module):
 
     # -- conditioning (nnets.py:380-456) -------------------------------------
     def _null_tokens(self, name: str, batch: int) -> jax.Array:
+        if self.cfg_dropout_prob <= 0:
+            # the table has vocab_size + (cfg_dropout_prob > 0) rows, so with
+            # no CFG row index vocab_size is out of bounds — XLA would CLAMP
+            # the gather and the "null" token would silently alias the last
+            # real class (the torch reference would device-assert instead)
+            raise ValueError(
+                f"null token for {name!r} needs the CFG embedding row, but "
+                "cfg_dropout_prob=0 allocated none; train with "
+                "cfg_dropout_prob>0 (reference default 0.8) to use "
+                "CFG/null conditioning"
+            )
         return jnp.full((batch,), self.class_vocab_sizes[name], dtype=jnp.int32)
 
     def _mutually_exclusive_embedding(
@@ -453,18 +491,24 @@ class DiT(nn.Module):
             drop_mask = None
 
         emb = jnp.zeros((batch, self.n_embed), self.dtype)
+        single = len(self.class_names) == 1 and drop_mask is None
         for name in self.class_names:
-            null_vals = self._null_tokens(name, batch)
             if name in available:
                 i = available.index(name)
                 cond_vals = condition[name].astype(jnp.int32)
+                if single:
+                    # one class, no dropout: no null token is ever consumed,
+                    # so this path stays legal at cfg_dropout_prob=0
+                    emb = emb + self.class_embeddings[name](cond_vals)
+                    continue
+                null_vals = self._null_tokens(name, batch)
                 if drop_mask is not None:
                     cond_or_null = jnp.where(drop_mask, null_vals, cond_vals)
                 else:
                     cond_or_null = cond_vals
                 vals = jnp.where(selected == i, cond_or_null, null_vals)
             else:
-                vals = null_vals
+                vals = self._null_tokens(name, batch)
             emb = emb + self.class_embeddings[name](vals)
         return emb[:, None, :]
 
@@ -481,9 +525,12 @@ class DiT(nn.Module):
             drop_mask = jnp.zeros((batch,), bool)
         emb = jnp.zeros((batch, self.n_embed), self.dtype)
         for name in self.class_names:
-            vals = condition[name].astype(jnp.int32)
             null_vals = self._null_tokens(name, batch)
-            final_vals = jnp.where(drop_mask, null_vals, vals)
+            if name in condition:  # absent classes ride as null tokens, same
+                vals = condition[name].astype(jnp.int32)  # as mutually-excl.
+                final_vals = jnp.where(drop_mask, null_vals, vals)
+            else:
+                final_vals = null_vals
             emb = emb + self.class_embeddings[name](final_vals)
         return emb[:, None, :]
 
@@ -520,7 +567,7 @@ class DiT(nn.Module):
         x = self.input_proj(x.astype(self.dtype))
         x = x + self.pos_embed.astype(x.dtype)
         for block in self.blocks:
-            x = block(x, condition=t_embedding, deterministic=not train)
+            x = block(x, t_embedding, not train)
         return self.final_layer(x, t_embedding).astype(jnp.float32)
 
     def __call__(

@@ -326,6 +326,12 @@ class LDMTask:
         (counts (2B, G), z (2B, M, E)): first half unconditional, second half
         conditional — the reference's doubled-batch output convention.
         """
+        if guidance_weight and self.dit.cfg_dropout_prob <= 0:
+            raise ValueError(
+                "CFG guidance needs null-token embedding rows, which only "
+                "exist when the DiT was built with cfg_dropout_prob>0 "
+                "(reference default 0.8); this model has none"
+            )
         sample_ode = self.transport_sampler.sample_ode(
             sampling_method=sampling_method, num_steps=num_steps
         )

@@ -477,3 +477,84 @@ def test_random_strategy_seeds_deterministic_and_distinct(tmp_path, rng):
     flat0 = {x.tobytes() for x in h0}
     flat1 = {x.tobytes() for x in h1}
     assert not (flat0 & flat1)
+
+
+def test_sort_h5ad_files_non_numeric_suffix(tmp_path):
+    """Files without an _<int> suffix must sort (lexicographically, after the
+    numbered shards) instead of crashing setup with a ValueError."""
+    from scldm_tpu.data.datamodule import sort_h5ad_files
+
+    for name in ("adata_2.h5ad", "adata_10.h5ad", "pbmc_train.h5ad", "zz.h5ad"):
+        (tmp_path / name).write_bytes(b"")
+    got = [p.split("/")[-1] for p in sort_h5ad_files(tmp_path)]
+    assert got == ["adata_2.h5ad", "adata_10.h5ad", "pbmc_train.h5ad", "zz.h5ad"]
+
+
+def test_host_partition_is_even(tmp_path, rng):
+    """Every host must yield the SAME batch count per epoch: each step is a
+    global collective, so a ragged [host::num_hosts] split would deadlock the
+    cluster when one host dispatches an extra step at epoch end."""
+    _write_dataset(tmp_path, rng, n=96)  # 90 train cells at bs 16 -> 5 specs
+    counts = []
+    for h in range(4):
+        enc = VocabularyEncoder(
+            class_vocab_sizes={"clusters": 3}, metadata_json=str(tmp_path / "meta.json")
+        )
+        dm = DataModule(
+            vocabulary_encoder=enc, train_adata_path=str(tmp_path / "train.h5ad"),
+            batch_size=16, test_batch_size=16, genes_seq_len=20,
+            sample_genes="expressed", prefetch=0, num_hosts=4, host_index=h,
+        )
+        dm.setup()
+        counts.append(len(list(dm.train_batches(0))))
+        assert counts[-1] == dm.steps_per_epoch
+    assert len(set(counts)) == 1  # 5 specs over 4 hosts -> 1 each, 1 dropped
+
+
+def test_prefetch_abandoned_iterator_does_not_wedge_producer(tmp_path, rng):
+    """`next(iter(train_batches(0)))` (the example-batch idiom in every CLI)
+    abandons the generator with the queue full; the producer's bounded-wait
+    put must exit instead of blocking forever holding batch memory."""
+    import threading
+    import time as _time
+
+    _write_dataset(tmp_path, rng, n=96)
+    enc = VocabularyEncoder(
+        class_vocab_sizes={"clusters": 3}, metadata_json=str(tmp_path / "meta.json")
+    )
+    dm = DataModule(
+        vocabulary_encoder=enc, train_adata_path=str(tmp_path / "train.h5ad"),
+        batch_size=16, test_batch_size=16, genes_seq_len=20,
+        sample_genes="expressed", prefetch=1,
+    )
+    dm.setup()
+    before = {t.ident for t in threading.enumerate()}
+    for _ in range(3):
+        it = dm.train_batches(0)
+        next(iter(it))
+        it.close()  # deterministic GeneratorExit (CPython refcount would too)
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        leaked = [
+            t for t in threading.enumerate()
+            if t.ident not in before and t.is_alive()
+        ]
+        if not leaked:
+            break
+        _time.sleep(0.2)
+    assert not leaked, f"producer threads still alive: {leaked}"
+
+
+def test_fastpath_genes_subset_dtype_matches_tokenizer(tmp_path, rng):
+    """CSR fast path and tokenize_cells must emit identical dtypes for the
+    same key — a mixed CSR/dense dataset would otherwise re-trace the train
+    step on every storage-mode switch."""
+    from scldm_tpu.data.fastpath import expressed_batch_from_csr
+
+    gene_row = np.arange(1, 21, dtype=np.int64)
+    indptr = np.array([0, 2, 3], np.int64)
+    out = expressed_batch_from_csr(
+        np.array([1.0, 2.0, 3.0], np.float32),
+        np.array([0, 5, 7], np.int64), indptr, gene_row, 8,
+    )
+    assert out["genes_subset"].dtype == np.int64

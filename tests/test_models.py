@@ -384,3 +384,106 @@ def test_remat_cross_and_chunk_equivalence(variant):
         # shapes change XLA's fma order, and near-cancelling sums amplify it
         scale = float(jnp.abs(f1[k]).max()) + 1e-6
         assert float(jnp.abs(f1[k] - f2[k]).max()) <= 1e-3 * scale + 1e-4, k
+
+
+class TestCFGNullTokenGuards:
+    """The class-embedding table only has a null row when cfg_dropout_prob>0
+    (reference nnets.py LabelEmbedder semantics). Without it, a null-token
+    gather at index vocab_size would be CLAMPED by XLA to the last real class
+    — silently-wrong 'unconditional' output — so consuming a null must raise
+    loudly instead (the torch reference device-asserts)."""
+
+    def _dit(self, p, strategy="mutually_exclusive", vocab=None):
+        from scldm_tpu.nn import DiT
+
+        return DiT(
+            n_embed=32, n_embed_input=8, n_layer=1, n_head=2, seq_len=4,
+            class_vocab_sizes=vocab or {"clusters": 5},
+            cfg_dropout_prob=p, condition_strategy=strategy,
+        )
+
+    def test_cfg_sampling_without_null_row_raises(self):
+        dit = self._dit(0.0)
+        x = jnp.zeros((4, 4, 8))
+        t = jnp.zeros((4,))
+        cond = {"clusters": jnp.zeros((4,), jnp.int32)}
+        params = dit.init({"params": jax.random.PRNGKey(0)}, x[:2], t[:2],
+                          {"clusters": cond["clusters"][:2]})
+        with pytest.raises(ValueError, match="CFG embedding row"):
+            dit.apply(params, x, t, cond, {"clusters": 1.5},
+                      method="forward_with_cfg_batched")
+
+    def test_single_class_training_ok_without_null_row(self):
+        """One conditioned class, no dropout: no null token is consumed, so
+        cfg_dropout_prob=0 stays legal (plain conditional training)."""
+        dit = self._dit(0.0)
+        x = jnp.zeros((4, 4, 8))
+        t = jnp.zeros((4,))
+        cond = {"clusters": jnp.zeros((4,), jnp.int32)}
+        params = dit.init({"params": jax.random.PRNGKey(0)}, x, t, cond)
+        out = dit.apply(params, x, t, cond)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_joint_partial_condition_uses_nulls(self):
+        """condition_strategy='joint' with only a subset of the classes must
+        ride the missing ones as null tokens (mutually-exclusive parity), not
+        KeyError at trace time."""
+        vocab = {"cell_type": 4, "tissue": 3}
+        dit = self._dit(0.5, strategy="joint", vocab=vocab)
+        x = jnp.zeros((4, 4, 8))
+        t = jnp.zeros((4,))
+        full = {"cell_type": jnp.zeros((4,), jnp.int32),
+                "tissue": jnp.zeros((4,), jnp.int32)}
+        params = dit.init({"params": jax.random.PRNGKey(0),
+                           "condition": jax.random.PRNGKey(1)}, x, t, full)
+        out = dit.apply(params, x, t, {"cell_type": full["cell_type"]})
+        assert np.isfinite(np.asarray(out)).all()
+        # and the batched-CFG segment builder accepts the same partial dict
+        from scldm_tpu.nn.nnets import build_cfg_segments
+
+        seg_x, seg_t, seg_cond, scales, b, h = build_cfg_segments(
+            x, t, {"cell_type": full["cell_type"]}, {"cell_type": 1.5},
+            vocab, "joint",
+        )
+        assert set(seg_cond) == {"cell_type", "tissue"}
+        assert int(seg_cond["tissue"].max()) == 3  # null id = vocab size
+
+
+def test_remat_with_dropout_traces():
+    """remat=True + dropout>0: `deterministic` must ride positionally through
+    nn.remat's static_argnums — a kwarg is traced by jax.remat, and Dropout's
+    python-bool branch then crashes at first trace (TracerBoolConversionError).
+    All three remat'd trunks (Encoder/Decoder/DiT) take this path."""
+    from scldm_tpu.nn.vae import build_transformer_vae
+
+    vae = build_transformer_vae(
+        n_genes=30, n_embed=16, n_embed_latent=8, n_layer=1,
+        n_inducing_points=4, n_head=2, n_head_cross=2, remat=True, dropout=0.1,
+    )
+    counts = jnp.asarray(np.random.default_rng(0).poisson(2.0, (3, 30)), jnp.float32)
+    genes = jnp.tile(jnp.arange(1, 31), (3, 1))
+    lib = counts.sum(1, keepdims=True)
+    params = vae.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        counts, genes, lib, counts[:, :12], genes[:, :12], train=True,
+    )
+    out, hz = vae.apply(
+        params, counts, genes, lib, counts[:, :12], genes[:, :12], train=True,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert np.isfinite(np.asarray(hz)).all()
+
+    from scldm_tpu.nn import DiT
+
+    dit = DiT(n_embed=32, n_embed_input=8, n_layer=1, n_head=2, seq_len=4,
+              class_vocab_sizes={"clusters": 3}, cfg_dropout_prob=0.5,
+              dropout=0.1, remat=True)
+    x = jnp.zeros((2, 4, 8))
+    t = jnp.zeros((2,))
+    cond = {"clusters": jnp.zeros((2,), jnp.int32)}
+    p = dit.init({"params": jax.random.PRNGKey(0), "condition": jax.random.PRNGKey(1),
+                  "dropout": jax.random.PRNGKey(2)}, x, t, cond, train=True)
+    out = dit.apply(p, x, t, cond, train=True,
+                    rngs={"condition": jax.random.PRNGKey(3),
+                          "dropout": jax.random.PRNGKey(4)})
+    assert np.isfinite(np.asarray(out)).all()
