@@ -62,7 +62,8 @@ def main(argv=None) -> int:
     logger.info(f"n_cells={datamodule.n_cells} max_steps={max_steps}")
 
     # linear LR scaling by world size (reference train.py:32-35)
-    cfg["model"]["optimizer"]["lr"] = float(cfg["model"]["optimizer"]["lr"]) * n_hosts
+    base_lr = float(cfg["model"]["optimizer"]["lr"])
+    cfg["model"]["optimizer"]["lr"] = base_lr * n_hosts
 
     vae = build_vae(cfg)
     task = build_vae_task(cfg, vae, max_steps, mesh=mesh)
@@ -74,7 +75,12 @@ def main(argv=None) -> int:
 
     ckpt_dir = cfg.get("checkpoint_dir", "outputs/checkpoints/vae")
     mgr = make_checkpoint_manager(cfg, ckpt_dir)
+    # snapshot records the PER-HOST lr: a relaunch from this config
+    # re-applies the world scaling itself (saving the scaled value would
+    # double-scale)
+    cfg["model"]["optimizer"]["lr"] = base_lr
     mgr.save_config(cfg)
+    cfg["model"]["optimizer"]["lr"] = base_lr * n_hosts
     wandb_logger = make_wandb_logger(cfg)
 
     state = fit(

@@ -94,8 +94,17 @@ def load_vae_from_checkpoint(cfg: dict, example_batch: dict):
     params = jax.tree_util.tree_map(lambda a: jax.device_put(np.asarray(a)), params)
     vae_mgr.close()
     logger.info(f"loaded frozen VAE from {vae_dir} @ step {step}")
-    # shape-check against a fresh init
-    jax.tree_util.tree_map(lambda a, b: None, init_params, params)
+    # structure AND shape check against a fresh init (tree_map alone only
+    # validates the tree structure)
+    def _check(a, b):
+        if np.shape(a) != np.shape(b):
+            raise ValueError(
+                f"VAE checkpoint param shape {np.shape(b)} does not match the "
+                f"grafted architecture's {np.shape(a)} — wrong checkpoint or "
+                "config drift"
+            )
+
+    jax.tree_util.tree_map(_check, init_params, params)
     return vae, params
 
 
@@ -119,7 +128,8 @@ def main(argv=None) -> int:
     )
     datamodule.setup("fit")
     max_steps = compute_max_steps(cfg, datamodule.n_cells, world_size=n_hosts)
-    cfg["model"]["optimizer"]["lr"] = float(cfg["model"]["optimizer"]["lr"]) * n_hosts
+    base_lr = float(cfg["model"]["optimizer"]["lr"])
+    cfg["model"]["optimizer"]["lr"] = base_lr * n_hosts
 
     example = next(iter(datamodule.train_batches(0)))
     vae, vae_params = load_vae_from_checkpoint(cfg, example)
@@ -131,7 +141,12 @@ def main(argv=None) -> int:
 
     ckpt_dir = cfg.get("checkpoint_dir", "outputs/checkpoints/ldm")
     mgr = make_checkpoint_manager(cfg, ckpt_dir)
+    # snapshot records the PER-HOST lr: a relaunch from this config
+    # re-applies the world scaling itself (saving the scaled value would
+    # double-scale)
+    cfg["model"]["optimizer"]["lr"] = base_lr
     mgr.save_config(cfg)
+    cfg["model"]["optimizer"]["lr"] = base_lr * n_hosts
     wandb_logger = make_wandb_logger(cfg)
 
     # periodic generation eval during validation (models.py:849-939 parity)

@@ -45,7 +45,8 @@ def main(argv=None) -> int:
     )
     datamodule.setup("fit")
     max_steps = compute_max_steps(cfg, datamodule.n_cells, world_size=n_hosts)
-    cfg["model"]["optimizer"]["lr"] = float(cfg["model"]["optimizer"]["lr"]) * n_hosts
+    base_lr = float(cfg["model"]["optimizer"]["lr"])
+    cfg["model"]["optimizer"]["lr"] = base_lr * n_hosts
 
     task = build_scvi_task(cfg, max_steps, mesh=mesh)
     example = next(iter(datamodule.train_batches(0)))
@@ -53,7 +54,12 @@ def main(argv=None) -> int:
 
     ckpt_dir = cfg.get("checkpoint_dir", "outputs/checkpoints/scvi")
     mgr = make_checkpoint_manager(cfg, ckpt_dir)
+    # snapshot records the PER-HOST lr: a relaunch from this config
+    # re-applies the world scaling itself (saving the scaled value would
+    # double-scale)
+    cfg["model"]["optimizer"]["lr"] = base_lr
     mgr.save_config(cfg)
+    cfg["model"]["optimizer"]["lr"] = base_lr * n_hosts
     wandb_logger = make_wandb_logger(cfg)
 
     state = fit(

@@ -121,6 +121,10 @@ class H5ADFile:
             return False
         enc = node.attrs.get("encoding-type", b"")
         enc = enc.decode() if isinstance(enc, bytes) else enc
+        if enc == "csc_matrix":
+            # a SQUARE csc matrix would satisfy the indptr-length heuristic
+            # below — trust the declared encoding first
+            return False
         n_obs = self.shape(attr, key)[0]
         return enc == "csr_matrix" or (
             "indptr" in node and len(node["indptr"]) == n_obs + 1
