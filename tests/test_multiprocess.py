@@ -91,7 +91,22 @@ except Exception as e:
     ckpt_err = f"{type(e).__name__}: {e}"
     print("CKPT_FAIL", ckpt_err, flush=True)
 
-out = {"loss": loss, "checksum": checksum, "pid": pid, "ckpt_ok": ckpt_ok}
+# FSDP across PROCESSES: shard_params device_puts each identically-initialized
+# leaf into a cross-process "data" sharding (ZeRO-3); the update must stay in
+# lockstep. Model sized so leaves pass the FSDP size gate (>=1024 elements).
+vae_f = build_transformer_vae(n_genes=G, n_embed=64, n_embed_latent=16,
+                              n_layer=1, n_inducing_points=4, n_head=4,
+                              n_head_cross=4)
+task_f = VAETask(vae_f, num_training_steps=10, mesh=mesh, fsdp=True)
+state_f = task_f.init_state(jax.random.PRNGKey(2), local)
+specs = [str(getattr(l.sharding, "spec", ""))
+         for l in jax.tree_util.tree_leaves(state_f.params)]
+fsdp_sharded = any("data" in s for s in specs)
+state_f, mf = task_f.train_step(state_f, sharded)
+fsdp_loss = float(mf["train_loss"])
+
+out = {"loss": loss, "checksum": checksum, "pid": pid, "ckpt_ok": ckpt_ok,
+       "fsdp_loss": fsdp_loss, "fsdp_sharded": fsdp_sharded}
 Path = __import__("pathlib").Path
 Path(os.environ["OUT_FILE"]).write_text(json.dumps(out))
 print("WORKER_OK", json.dumps(out), flush=True)
@@ -145,6 +160,10 @@ def test_two_process_dp_matches_single_process(tmp_path):
     # both processes observe the same global loss and end in the same state
     assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
     assert results[0]["checksum"] == pytest.approx(results[1]["checksum"], rel=1e-6)
+    # FSDP params actually sharded over the cross-process "data" axis, and the
+    # ZeRO step stayed in lockstep
+    assert all(r["fsdp_sharded"] for r in results), results
+    assert results[0]["fsdp_loss"] == pytest.approx(results[1]["fsdp_loss"], rel=1e-6)
     # coordinated orbax save + restore succeeded on both processes
     assert all(r["ckpt_ok"] for r in results), (results, logs[0][-2000:])
     import shutil as _sh
