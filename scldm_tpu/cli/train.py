@@ -97,6 +97,8 @@ def main(argv=None) -> int:
         save_every_epochs=int(cfg["training"]["checkpoint"].get("save_every_epochs", 1)),
         eval_rng_seed=seed,
         steps_per_dispatch=int(cfg["training"].get("steps_per_dispatch", 1)),
+        profile_dir=cfg["training"].get("profile_dir") or None,
+        profile_steps=int(cfg["training"].get("profile_steps", 3)),
         wandb_logger=wandb_logger,
     )
     if wandb_logger is not None:

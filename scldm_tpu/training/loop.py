@@ -106,6 +106,8 @@ def fit(
     steps_per_dispatch: int = 1,
     on_validation_end: Optional[Callable] = None,  # (epoch, val_metrics, state)
     wandb_logger=None,  # utils.wandb_logger.WandbLogger (rank-0 no-op safe)
+    profile_dir: Optional[str] = None,  # capture a post-compile step trace here
+    profile_steps: int = 3,
 ):
     """Run training until max_steps or epochs exhaust. Returns final state."""
     start_step = int(state.step)
@@ -125,7 +127,10 @@ def fit(
 
     import jax.numpy as jnp
 
+    from scldm_tpu.utils.profiling import StepProfiler
+
     stackers = _StackBuffers()
+    profiler = StepProfiler(profile_dir, profile_steps)
 
     for epoch in range(start_epoch, epochs):
         if step >= max_steps:
@@ -148,6 +153,7 @@ def fit(
                             break
                         dev_b = shard_batch(b, mesh) if mesh is not None else b
                         state, metrics = task.train_step(state, dev_b)
+                        profiler.tick(metrics)
                         step += 1
                         cells_seen += len(b["library_size"])
                     pending = []
@@ -161,12 +167,14 @@ def fit(
                     else {k: jnp.asarray(v) for k, v in stacked.items()}
                 )
                 state, metrics = task.train_steps(state, dev)
+                profiler.tick(metrics)
                 step += len(pending)
                 cells_seen += sum(len(b["library_size"]) for b in pending)
                 pending = []
             else:
                 dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
                 state, metrics = task.train_step(state, dev_batch)
+                profiler.tick(metrics)
                 step += 1
                 cells_seen += len(batch["library_size"])
             if step - last_logged >= log_every_steps:
@@ -197,6 +205,7 @@ def fit(
                 break
             dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
             state, metrics = task.train_step(state, dev_batch)
+            profiler.tick(metrics)
             step += 1
             cells_seen += len(batch["library_size"])
 
@@ -219,6 +228,7 @@ def fit(
         if ckpt_manager is not None and (epoch + 1) % save_every_epochs == 0:
             ckpt_manager.save(step, state, metrics=val_metrics or None)
 
+    profiler.close()  # run shorter than 1+profile_steps dispatches
     if ckpt_manager is not None:
         ckpt_manager.save(step, state)
     return state

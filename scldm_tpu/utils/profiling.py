@@ -33,6 +33,47 @@ def annotate(name: str):
         yield
 
 
+class StepProfiler:
+    """In-loop trace capture for `training.loop.fit` (training.profile_dir=...).
+
+    Dispatch 1 is the compile dispatch; the trace covers dispatches
+    2 .. 1+steps. ``tick`` is called once per train dispatch with that
+    dispatch's metrics — the scalar fetches force device completion at the
+    window edges (on remote-attached platforms only scalar fetches provably
+    sync), so the captured window holds exactly the profiled steps."""
+
+    def __init__(self, log_dir: Optional[str], steps: int = 3):
+        self.log_dir = log_dir
+        self.steps = max(int(steps), 1)
+        self._n = 0
+        self._active = False
+
+    def tick(self, metrics) -> None:
+        if not self.log_dir:
+            return
+        self._n += 1
+        if self._n == 1:
+            float(metrics["train_loss"])  # drain the compile dispatch
+            try:
+                jax.profiler.start_trace(self.log_dir, create_perfetto_link=False)
+            except Exception:
+                # a crashed earlier fit() in this process left a trace open;
+                # its partial data is lost either way — recover the session
+                jax.profiler.stop_trace()
+                jax.profiler.start_trace(self.log_dir, create_perfetto_link=False)
+            self._active = True
+        elif self._active and self._n >= 1 + self.steps:
+            float(metrics["train_loss"])  # force the profiled work to finish
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def close(self) -> None:
+        """Stop a still-open trace (run shorter than 1+steps dispatches)."""
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 def capture_train_steps(task, state, batch, log_dir: str, steps: int = 3):
     """Capture a short trace of compiled train steps (after warmup)."""
     state, m = task.train_step(state, batch)  # compile outside the trace

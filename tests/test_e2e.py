@@ -73,6 +73,26 @@ def test_vae_training_cli(workspace):
     assert (ckpt / "metrics.csv").exists()
 
 
+def test_vae_training_profile_capture(workspace):
+    """training.profile_dir captures a jax-profiler trace of the first
+    post-compile dispatches (SURVEY §5 tracing subsystem — no reference
+    analog; the loop wiring is scldm_tpu/training/loop.py StepProfiler)."""
+    from scldm_tpu.cli.train import main
+
+    profile_dir = workspace / "trace"
+    overrides = _common_overrides(workspace) + [
+        f"paths.output_path={workspace / 'outputs_profiled'}",
+        f"training.profile_dir={profile_dir}",
+        "training.profile_steps=2",
+        "epochs=1",
+    ]
+    rc = main(overrides)
+    assert rc == 0
+    # jax writes plugins/profile/<ts>/<host>.xplane.pb under the log dir
+    captured = list(profile_dir.rglob("*.xplane.pb"))
+    assert captured, f"no trace files under {profile_dir}"
+
+
 def test_ldm_training_cli(workspace):
     from scldm_tpu.cli.train_ldm import main
 
