@@ -79,8 +79,6 @@ def load_vae_from_checkpoint(cfg: dict, example_batch: dict):
         genes_subset=jnp.asarray(example_batch.get("genes_subset", genes)),
     )
     # restore only the params subtree of the VAE train state
-    from scldm_tpu.training.vae_task import VAETask  # template construction
-
     step = vae_mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no VAE checkpoint in {vae_dir}")

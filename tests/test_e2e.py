@@ -115,7 +115,6 @@ def test_ldm_training_cli(workspace):
 
 
 def test_generation_cli(workspace):
-    import sys
     from pathlib import Path
 
     from scldm_tpu.cli.inference import main
