@@ -346,12 +346,7 @@ class DataModule:
                 # condition columns must ride along here too — otherwise
                 # generation over an external AnnData silently runs fully
                 # unconditional (the CLI intersects batch keys with the vocab)
-                for label in self.vocabulary_encoder.class_vocab_sizes:
-                    try:
-                        batch[label] = self._encoded_labels(path, f, label)[lo:hi]
-                    except KeyError:  # external file may lack the column
-                        pass
-                return batch
+                return self._attach_labels(batch, path, f, lo, hi)
 
         if self.sample_genes == "expressed" and f.is_csr(self.adata_attr, self.adata_key):
             # vectorized single-read CSR fast path (data/fastpath.py)
@@ -381,7 +376,21 @@ class DataModule:
                     ModelEnum.COUNTS_SUBSET.value
                 ].astype(np.float32)
 
+        return self._attach_labels(batch, path, f, lo, hi)
+
+    def _attach_labels(self, batch, path: str, f: H5ADFile, lo: int, hi: int):
+        """Encoded condition columns onto the batch. For the EXTERNAL
+        inference AnnData a missing column is tolerated (generation falls
+        back to null tokens); column presence is tested explicitly because
+        encode_metadata raises KeyError for unknown categories and that
+        error must stay loud — a blanket handler here would silently
+        degrade conditional generation to unconditional. Training files
+        always require their columns."""
+        tolerate_missing = path == self._adata_inference
+        present = set(f.obs_columns()) if tolerate_missing else None
         for label in self.vocabulary_encoder.class_vocab_sizes:
+            if tolerate_missing and label not in present:
+                continue
             batch[label] = self._encoded_labels(path, f, label)[lo:hi]
         return batch
 

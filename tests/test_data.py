@@ -440,6 +440,48 @@ def test_adata_inference_gene_filtering(tmp_path, rng):
     np.testing.assert_allclose(batch["library_size"][:, 0], batch["counts"].sum(1))
 
 
+def test_adata_inference_condition_columns(tmp_path, rng):
+    """External-AnnData predict batches: a PRESENT condition column rides
+    along encoded; a present column with categories outside the training
+    vocabulary fails loudly; an ABSENT column is tolerated (unconditional).
+    Guards the failure mode where a blanket KeyError handler silently
+    degraded conditional generation to unconditional."""
+    payload = {"genes": [f"g{i}" for i in range(20)], "labels": {"clusters": ["a", "b"]}}
+    (tmp_path / "meta.json").write_text(json.dumps(payload))
+    enc = VocabularyEncoder(class_vocab_sizes={"clusters": 2},
+                            metadata_json=str(tmp_path / "meta.json"))
+
+    def make_dm(fname):
+        dm = DataModule(
+            vocabulary_encoder=enc, train_adata_path=None, allow_missing_train=True,
+            batch_size=8, test_batch_size=8, genes_seq_len=20,
+            sample_genes="expressed", prefetch=0,
+        )
+        dm.adata_inference = str(tmp_path / fname)
+        dm.setup("predict")
+        return dm
+
+    X = rng.poisson(2.0, size=(16, 20)).astype(np.float32) + 1
+    gvars = [f"g{i}" for i in range(20)]
+
+    # known categories: column is encoded into the batch
+    write_h5ad(tmp_path / "known.h5ad", X, var_names=gvars,
+               obs={"clusters": rng.choice(["a", "b"], 16)})
+    batch = next(iter(make_dm("known.h5ad").predict_batches()))
+    assert "clusters" in batch and set(np.unique(batch["clusters"])) <= {0, 1}
+
+    # unknown category: loud, named error — not silent unconditional
+    write_h5ad(tmp_path / "unknown.h5ad", X, var_names=gvars,
+               obs={"clusters": np.array(["a", "MYSTERY"] * 8)})
+    with pytest.raises(KeyError, match="MYSTERY"):
+        next(iter(make_dm("unknown.h5ad").predict_batches()))
+
+    # column absent entirely: tolerated (generation falls back to null tokens)
+    write_h5ad(tmp_path / "nocol.h5ad", X, var_names=gvars, obs={})
+    batch = next(iter(make_dm("nocol.h5ad").predict_batches()))
+    assert "clusters" not in batch
+
+
 def test_random_strategy_seeds_deterministic_and_distinct(tmp_path, rng):
     """ROADMAP hygiene: the `random*` tokenizer strategies must be (a)
     deterministic within an epoch, (b) re-sampled across epochs, and (c)
