@@ -1,0 +1,137 @@
+"""Turnkey TPU re-validation queue (ROADMAP "Pending TPU re-validation").
+
+Runs each pending measurement in its OWN serialized subprocess (two TPU
+processes contend and both crawl on this platform; a crash in one item must
+not take down the queue), collects every JSON line each item prints, and
+writes REVALIDATION.json incrementally — if the device relay dies mid-queue
+(it has), the items that finished are preserved.
+
+    python -m benchmarks.revalidate                 # probe + core queue
+    python -m benchmarks.revalidate --all           # + ldm/quality reruns
+    python -m benchmarks.revalidate --items bench census
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# ROADMAP queue items, in dependency-free execution order. Each is a
+# standalone command printing {"metric", "value", "unit", ...} JSON lines.
+ITEMS = {
+    # headline with the decoder-tail bwd_block_g=1024 dispatch actually live
+    # (the swept win never shipped in round 2's number)
+    "bench": [sys.executable, "bench.py"],
+    # the streaming flash kernel's one real compile (scratch/grid semantics)
+    "flash_compiled": [sys.executable, "-m", "benchmarks.check_flash_compiled"],
+    # census MFU re-confirmation at HEAD
+    "census": [sys.executable, "-m", "benchmarks.bench_census"],
+    # opt-in (--all): slower full reruns
+    "ldm": [sys.executable, "-m", "benchmarks.bench_ldm"],
+    "quality": [sys.executable, "-m", "benchmarks.quality_e2e"],
+}
+CORE = ["bench", "flash_compiled", "census"]
+
+
+def probe(timeout_s: int = 120) -> dict:
+    """Tiny on-device matmul in a subprocess: is the accelerator reachable?
+    (On the tunneled dev platform a dead relay hangs interpreter startup —
+    only a subprocess + timeout detects that safely.)"""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "d = jax.devices();"
+        "x = jnp.ones((256, 256));"
+        "print('PROBE_OK', d[0].platform, float((x @ x).sum()))"
+    )
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, cwd=REPO,
+        )
+        ok = r.returncode == 0 and "PROBE_OK" in r.stdout
+        return {"ok": ok, "detail": r.stdout.strip()[-200:] or r.stderr.strip()[-200:],
+                "elapsed_s": round(time.time() - t0, 1)}
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "detail": f"probe timed out after {timeout_s}s "
+                "(device relay unreachable?)", "elapsed_s": timeout_s}
+
+
+def run_item(name: str, cmd, timeout_s: int) -> dict:
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s, cwd=REPO, env=env,
+        )
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        return {"status": "timeout", "elapsed_s": round(time.time() - t0, 1),
+                "results": parse_json_lines(out), "stderr_tail": ""}
+    status = "ok" if r.returncode == 0 else "failed"
+    return {
+        "status": status,
+        "elapsed_s": round(time.time() - t0, 1),
+        "results": parse_json_lines(r.stdout),
+        "stderr_tail": "" if status == "ok" else r.stderr.strip()[-500:],
+    }
+
+
+def parse_json_lines(text: str):
+    rows = []
+    for line in (text or "").splitlines():
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    return rows
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--items", nargs="*", choices=sorted(ITEMS), default=None)
+    p.add_argument("--all", action="store_true")
+    p.add_argument("--timeout", type=int, default=2400,
+                   help="per-item seconds (first compiles run minutes here)")
+    p.add_argument("--out", default=str(REPO / "REVALIDATION.json"))
+    p.add_argument("--skip-probe", action="store_true")
+    args = p.parse_args()
+
+    names = args.items or (list(ITEMS) if args.all else CORE)
+    report = {"started_unix": round(time.time(), 1), "items": {}}
+    out_path = Path(args.out)
+
+    if not args.skip_probe:
+        report["probe"] = probe()
+        out_path.write_text(json.dumps(report, indent=2))
+        print(f"probe: {report['probe']}", flush=True)
+        if not report["probe"]["ok"]:
+            print("device unreachable — aborting queue (report written)", flush=True)
+            return 1
+
+    for name in names:
+        print(f"== {name}: {' '.join(ITEMS[name][1:]) or 'bench.py'}", flush=True)
+        report["items"][name] = run_item(name, ITEMS[name], args.timeout)
+        out_path.write_text(json.dumps(report, indent=2))  # preserve partials
+        item = report["items"][name]
+        print(f"   {item['status']} in {item['elapsed_s']}s, "
+              f"{len(item['results'])} metrics", flush=True)
+    report["finished_unix"] = round(time.time(), 1)
+    out_path.write_text(json.dumps(report, indent=2))
+    failed = [n for n, i in report["items"].items() if i["status"] != "ok"]
+    print(f"done -> {out_path}" + (f" (failed: {failed})" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
