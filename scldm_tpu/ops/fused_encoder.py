@@ -51,57 +51,39 @@ from jax.experimental.pallas import tpu as pltpu
 WEIGHT_NAMES = ("ln1g", "ln1b", "wk", "wv")
 
 
-def _tile_fold(counts, table, qfull, weights, eps: float, scale: float):
-    """Scaled scores + values for one (batch-tile, gene-tile), batch-folded:
+def _ln_kv_scores(x, qfull, weights, eps: float, scale: float):
+    """LN -> k/v projection -> per-head scores for one (batch, token) tile —
+    the math both pooling variants share (their only difference upstream is
+    how the (bt, t, E) embedding tile is built).
 
-    counts (bt, Gt) f32, table (Gt, E), qfull (QH, E)
-    -> (s (bt, Gt, QH) scaled scores, v (bt, Gt, E))
-
-    All matmuls run on the (bt*Gt)-row folded axis so the MXU sees one large
-    GEMM per projection instead of bt skinny ones."""
+    x (bt, t, E) f32 -> (s (bt, t, QH) scaled scores, v (bt, t, E)). All
+    matmuls run on the (bt*t)-row folded axis so the MXU sees one large GEMM
+    per projection instead of bt skinny ones."""
     ln1g, ln1b, wk, wv = weights
     bf = jnp.bfloat16
-    bt, gt = counts.shape
-    E = table.shape[-1]
-    emb = table.astype(jnp.float32)[None] * jnp.log1p(
-        counts.astype(jnp.float32)
-    )[:, :, None]
-    mean = jnp.mean(emb, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(emb - mean), axis=-1, keepdims=True)
-    x = (emb - mean) * jax.lax.rsqrt(var + eps)
+    bt, t, E = x.shape
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
     x = x * ln1g.astype(jnp.float32).reshape(1, 1, E) + ln1b.astype(
         jnp.float32
     ).reshape(1, 1, E)
-    x2 = x.reshape(bt * gt, E)
+    x2 = x.reshape(bt * t, E)
     k = jnp.dot(x2.astype(bf), wk.astype(bf), preferred_element_type=jnp.float32)
     v = jnp.dot(x2.astype(bf), wv.astype(bf), preferred_element_type=jnp.float32)
     s = jax.lax.dot_general(
         k.astype(bf), qfull.astype(bf), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bt*Gt, QH)
-    return s.reshape(bt, gt, -1) * scale, v.reshape(bt, gt, E)
+    )  # (bt*t, QH)
+    return s.reshape(bt, t, -1) * scale, v.reshape(bt, t, E)
 
 
-def _fwd_kernel(
-    counts_ref, table_ref, qfull_ref, ln1g_ref, ln1b_ref, wk_ref, wv_ref,
-    m_ref, den_ref, num_ref,
-    *, eps, scale, bt,
-):
-    gi = pl.program_id(1)
-    weights = (ln1g_ref[...], ln1b_ref[...], wk_ref[...], wv_ref[...])
+def _online_update(m_ref, den_ref, num_ref, s, v, bt: int):
+    """Streaming-softmax accumulate of one tile's (scores, values) into the
+    per-batch (m, den, num) carries (flash decomposition: out = num/den)."""
     bf = jnp.bfloat16
-
-    @pl.when(gi == 0)
-    def _():
-        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
-        den_ref[...] = jnp.zeros_like(den_ref)
-        num_ref[...] = jnp.zeros_like(num_ref)
-
-    s, v = _tile_fold(
-        counts_ref[...], table_ref[...], qfull_ref[...], weights, eps, scale
-    )
     for b in range(bt):
-        sb = s[b]  # (Gt, QH)
+        sb = s[b]  # (t, QH)
         m_old = m_ref[b]
         m_new = jnp.maximum(m_old, jnp.max(sb, axis=0))
         e = jnp.exp(sb - m_new[None, :])
@@ -114,6 +96,68 @@ def _fwd_kernel(
         den_ref[b] = den_ref[b] * alpha + den
         num_ref[b] = num_ref[b] * alpha[:, None] + num
         m_ref[b] = m_new
+
+
+def _numden_given_m(s, v, m_ref, bt: int):
+    """One tile's (num, den) given the FORWARD's saved row max: with m fixed
+    the per-tile contributions are plain sums, so this is the function whose
+    in-kernel jax.vjp yields the backward (no max recomputation)."""
+    bf = jnp.bfloat16
+    nums, dens = [], []
+    for b in range(bt):
+        e = jnp.exp(s[b] - m_ref[b][None, :])
+        dens.append(jnp.sum(e, axis=0))
+        nums.append(
+            jax.lax.dot_general(
+                e.astype(bf), v[b].astype(bf), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.stack(nums), jnp.stack(dens)
+
+
+def _accum(ref, g, first):
+    """Initialize-or-add a gradient block revisited across grid steps."""
+
+    @pl.when(first)
+    def _():
+        ref[...] = g.astype(ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ref[...] = ref[...] + g.astype(ref.dtype)
+
+
+def _tile_fold(counts, table, qfull, weights, eps: float, scale: float):
+    """Dense-variant tile: build the embedding from (counts, table) — token
+    embedding = table row x log1p(count), rows aligned with the gene axis so
+    no gather — then the shared fold.
+
+    counts (bt, Gt) f32, table (Gt, E) -> (s (bt, Gt, QH), v (bt, Gt, E))."""
+    emb = table.astype(jnp.float32)[None] * jnp.log1p(
+        counts.astype(jnp.float32)
+    )[:, :, None]
+    return _ln_kv_scores(emb, qfull, weights, eps, scale)
+
+
+def _fwd_kernel(
+    counts_ref, table_ref, qfull_ref, ln1g_ref, ln1b_ref, wk_ref, wv_ref,
+    m_ref, den_ref, num_ref,
+    *, eps, scale, bt,
+):
+    gi = pl.program_id(1)
+    weights = (ln1g_ref[...], ln1b_ref[...], wk_ref[...], wv_ref[...])
+
+    @pl.when(gi == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        den_ref[...] = jnp.zeros_like(den_ref)
+        num_ref[...] = jnp.zeros_like(num_ref)
+
+    s, v = _tile_fold(
+        counts_ref[...], table_ref[...], qfull_ref[...], weights, eps, scale
+    )
+    _online_update(m_ref, den_ref, num_ref, s, v, bt)
 
 
 def _bwd_kernel(
@@ -129,21 +173,9 @@ def _bwd_kernel(
     qfull = qfull_ref[...].astype(jnp.float32)
     table = table_ref[...].astype(jnp.float32)
 
-    bf = jnp.bfloat16
-
     def f(table, qfull, *ws):
         s, v = _tile_fold(counts_ref[...], table, qfull, ws, eps, scale)
-        nums, dens = [], []
-        for b in range(bt):
-            e = jnp.exp(s[b] - m_ref[b][None, :])
-            dens.append(jnp.sum(e, axis=0))
-            nums.append(
-                jax.lax.dot_general(
-                    e.astype(bf), v[b].astype(bf), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        return jnp.stack(nums), jnp.stack(dens)
+        return _numden_given_m(s, v, m_ref, bt)
 
     _, vjp = jax.vjp(f, table, qfull, *weights)
     dtable, dqfull, dln1g, dln1b, dwk, dwv = vjp(
@@ -153,21 +185,12 @@ def _bwd_kernel(
     first_b = bi == 0  # dtable blocks are revisited across the inner batch loop
     first_all = jnp.logical_and(gi == 0, first_b)
 
-    def accum(ref, g, first):
-        @pl.when(first)
-        def _():
-            ref[...] = g.astype(ref.dtype)
-
-        @pl.when(jnp.logical_not(first))
-        def _():
-            ref[...] = ref[...] + g.astype(ref.dtype)
-
-    accum(dtable_ref, dtable, first_b)
+    _accum(dtable_ref, dtable, first_b)
     for ref, g in zip(
         (dqfull_ref, dln1g_ref, dln1b_ref, dwk_ref, dwv_ref),
         (dqfull, dln1g, dln1b, dwk, dwv),
     ):
-        accum(ref, g, first_all)
+        _accum(ref, g, first_all)
 
 
 from scldm_tpu.ops.tiling import pad_axis as _pad_axis  # shared tiling arithmetic
@@ -305,27 +328,11 @@ fused_encoder_pool.defvjp(_fused_fwd, _fused_bwd)
 
 
 def _wtile_fold(emb, qfull, weights, eps: float, scale: float):
-    """Scaled scores + values for one (batch-tile, token-tile), batch-folded:
+    """Window-variant tile: the embedding arrives pre-gathered (input_layer
+    output), so the tile IS the shared fold.
 
     emb (bt, st, E) -> (s (bt, st, QH) scaled scores, v (bt, st, E))"""
-    ln1g, ln1b, wk, wv = weights
-    bf = jnp.bfloat16
-    bt, st, E = emb.shape
-    x = emb.astype(jnp.float32)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    x = (x - mean) * jax.lax.rsqrt(var + eps)
-    x = x * ln1g.astype(jnp.float32).reshape(1, 1, E) + ln1b.astype(
-        jnp.float32
-    ).reshape(1, 1, E)
-    x2 = x.reshape(bt * st, E)
-    k = jnp.dot(x2.astype(bf), wk.astype(bf), preferred_element_type=jnp.float32)
-    v = jnp.dot(x2.astype(bf), wv.astype(bf), preferred_element_type=jnp.float32)
-    s = jax.lax.dot_general(
-        k.astype(bf), qfull.astype(bf), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return s.reshape(bt, st, -1) * scale, v.reshape(bt, st, E)
+    return _ln_kv_scores(emb.astype(jnp.float32), qfull, weights, eps, scale)
 
 
 def _wfwd_kernel(
@@ -335,7 +342,6 @@ def _wfwd_kernel(
 ):
     si = pl.program_id(1)
     weights = (ln1g_ref[...], ln1b_ref[...], wk_ref[...], wv_ref[...])
-    bf = jnp.bfloat16
 
     @pl.when(si == 0)
     def _():
@@ -344,20 +350,7 @@ def _wfwd_kernel(
         num_ref[...] = jnp.zeros_like(num_ref)
 
     s, v = _wtile_fold(emb_ref[...], qfull_ref[...], weights, eps, scale)
-    for b in range(bt):
-        sb = s[b]
-        m_old = m_ref[b]
-        m_new = jnp.maximum(m_old, jnp.max(sb, axis=0))
-        e = jnp.exp(sb - m_new[None, :])
-        den = jnp.sum(e, axis=0)
-        num = jax.lax.dot_general(
-            e.astype(bf), v[b].astype(bf), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        alpha = jnp.exp(m_old - m_new)
-        den_ref[b] = den_ref[b] * alpha + den
-        num_ref[b] = num_ref[b] * alpha[:, None] + num
-        m_ref[b] = m_new
+    _online_update(m_ref, den_ref, num_ref, s, v, bt)
 
 
 def _wbwd_kernel(
@@ -371,21 +364,10 @@ def _wbwd_kernel(
         r[...].astype(jnp.float32) for r in (ln1g_ref, ln1b_ref, wk_ref, wv_ref)
     )
     qfull = qfull_ref[...].astype(jnp.float32)
-    bf = jnp.bfloat16
 
     def f(emb, qfull, *ws):
         s, v = _wtile_fold(emb, qfull, ws, eps, scale)
-        nums, dens = [], []
-        for b in range(bt):
-            e = jnp.exp(s[b] - m_ref[b][None, :])
-            dens.append(jnp.sum(e, axis=0))
-            nums.append(
-                jax.lax.dot_general(
-                    e.astype(bf), v[b].astype(bf), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        return jnp.stack(nums), jnp.stack(dens)
+        return _numden_given_m(s, v, m_ref, bt)
 
     _, vjp = jax.vjp(f, emb_ref[...].astype(jnp.float32), qfull, *weights)
     demb, dqfull, dln1g, dln1b, dwk, dwv = vjp(
@@ -394,21 +376,11 @@ def _wbwd_kernel(
 
     demb_ref[...] = demb.astype(demb_ref.dtype)  # each (s, b) block visited once
     first_all = jnp.logical_and(si == 0, bi == 0)
-
-    def accum(ref, g):
-        @pl.when(first_all)
-        def _():
-            ref[...] = g.astype(ref.dtype)
-
-        @pl.when(jnp.logical_not(first_all))
-        def _():
-            ref[...] = ref[...] + g.astype(ref.dtype)
-
     for ref, g in zip(
         (dqfull_ref, dln1g_ref, dln1b_ref, dwk_ref, dwv_ref),
         (dqfull, dln1g, dln1b, dwk, dwv),
     ):
-        accum(ref, g)
+        _accum(ref, g, first_all)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
