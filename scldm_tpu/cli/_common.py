@@ -18,6 +18,7 @@ def make_checkpoint_manager(cfg: Dict, ckpt_dir) -> CheckpointManager:
         monitor=ck.get("monitor"),
         save_top_k=int(ck.get("save_top_k", 1) or 0),
         mode=ck.get("mode", "min"),
+        async_save=bool(ck.get("async_save", False)),
     )
 
 

@@ -195,6 +195,7 @@ def main(argv=None) -> int:
         on_validation_end=on_validation_end,
         wandb_logger=wandb_logger,
     )
+    mgr.close()  # drain in-flight (async) checkpoint writes before exit
     if wandb_logger is not None:
         wandb_logger.finish()
     logger.info(f"done at step {int(state.step)}")

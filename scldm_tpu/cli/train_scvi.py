@@ -80,6 +80,7 @@ def main(argv=None) -> int:
         profile_steps=int(cfg["training"].get("profile_steps", 3)),
         wandb_logger=wandb_logger,
     )
+    mgr.close()  # drain in-flight (async) checkpoint writes before exit
     if wandb_logger is not None:
         wandb_logger.finish()
     logger.info(f"done at step {int(state.step)}")

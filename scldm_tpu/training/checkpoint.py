@@ -48,14 +48,24 @@ class CheckpointManager:
         monitor: Optional[str] = None,
         save_top_k: int = 1,
         mode: str = "min",
+        async_save: bool = False,
     ):
+        """``async_save=True`` overlaps checkpoint writes with training:
+        orbax snapshots device arrays to host, then serializes in a
+        background thread (multi-host coordination included) — at census
+        scale the train state is ~2.5 GB and a blocking write stalls the
+        chip for its full duration. Off by default: synchronous saves keep
+        save-then-read-back flows (tests, scripts that immediately restore)
+        trivially correct; ``close()`` always drains pending writes."""
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
         _guard_multihost_directory(self.directory)
+        self.async_save = async_save
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
         self.monitor = monitor
@@ -68,22 +78,34 @@ class CheckpointManager:
                     best_fn=lambda m: m[monitor],
                     best_mode=mode,
                     create=True,
-                    enable_async_checkpointing=False,
+                    enable_async_checkpointing=async_save,
                 ),
             )
 
     def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> None:
         metrics = {k: float(v) for k, v in (metrics or {}).items()}
         self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
-        self._mgr.wait_until_finished()
+        if not self.async_save:
+            self._mgr.wait_until_finished()
         if self._best is not None and self.monitor in metrics:
             self._best.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+            if not self.async_save:
+                self._best.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
+        """Drain in-flight async writes (no-op for synchronous saves)."""
+        self._mgr.wait_until_finished()
+        if self._best is not None:
             self._best.wait_until_finished()
 
     def best_step(self) -> Optional[int]:
         """Step of the best checkpoint by the monitored metric (None if no
         monitored saves happened)."""
-        return self._best.best_step() if self._best is not None else None
+        if self._best is None:
+            return None
+        if self.async_save:  # an in-flight save must be visible to readers
+            self._best.wait_until_finished()
+        return self._best.best_step()
 
     def restore_best(self, template: Any) -> Any:
         step = self.best_step()
@@ -92,6 +114,8 @@ class CheckpointManager:
         return self._best.restore(step, args=ocp.args.StandardRestore(template))
 
     def latest_step(self) -> Optional[int]:
+        if self.async_save:  # an in-flight save must be visible to readers
+            self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, template: Any, step: Optional[int] = None) -> Any:
@@ -118,6 +142,7 @@ class CheckpointManager:
         return json.loads(p.read_text()) if p.exists() else None
 
     def close(self):
+        self.wait_until_finished()
         self._mgr.close()
         if self._best is not None:
             self._best.close()

@@ -79,14 +79,17 @@ ckpt_ok = False
 try:
     from scldm_tpu.training.checkpoint import CheckpointManager
 
-    mgr = CheckpointManager(os.environ["CKPT_DIR"], max_to_keep=1)
-    mgr.save(int(state.step), state)  # blocks until finished
+    # async_save exercises orbax's cross-process write coordination too:
+    # save returns immediately, readers drain the in-flight write
+    mgr = CheckpointManager(os.environ["CKPT_DIR"], max_to_keep=1, async_save=True)
+    mgr.save(int(state.step), state)
     fresh = task.init_state(jax.random.PRNGKey(9), local)
     restored, resumed = mgr.maybe_restore(fresh)
     r_leaf = jax.tree_util.tree_leaves(restored.params)[0]
     ckpt_ok = bool(resumed) and int(restored.step) == int(state.step) and bool(
         jnp.allclose(r_leaf, leaf)
     )
+    mgr.close()
 except Exception as e:
     ckpt_err = f"{type(e).__name__}: {e}"
     print("CKPT_FAIL", ckpt_err, flush=True)

@@ -462,6 +462,33 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_async_save_roundtrip(tmp_path):
+    """async_save=True overlaps the write with training; readers
+    (latest_step/restore/best_step) must drain in-flight saves so a
+    save-then-restore in the same process stays correct."""
+    vae = build_transformer_vae(
+        n_genes=N_GENES, n_embed=16, n_embed_latent=8, n_layer=1,
+        n_inducing_points=4, n_head=2, n_head_cross=2,
+    )
+    task = VAETask(vae, num_training_steps=10)
+    batch = make_batch(jax.random.PRNGKey(0))
+    state = task.init_state(jax.random.PRNGKey(1), batch)
+    state, _ = task.train_step(state, batch)
+
+    mgr = CheckpointManager(tmp_path / "ckpt", monitor="val_loss", async_save=True)
+    mgr.save(int(state.step), state, metrics={"val_loss": 1.0})
+    # no explicit wait: latest_step/restore must see the in-flight save
+    template = task.init_state(jax.random.PRNGKey(1), batch)
+    restored, step = mgr.maybe_restore(template)
+    assert step == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+    assert mgr.best_step() == 1
+    mgr.close()
+
+
 def test_checkpoint_best_k_retention(tmp_path):
     """Best-k-by-val_loss retention (reference ModelCheckpoint monitor=val_loss
     save_top_k, training/default.yaml:42-52): best/ keeps the k best monitored
