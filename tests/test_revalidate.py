@@ -1,0 +1,47 @@
+"""The turnkey re-validation runner (benchmarks/revalidate.py): JSON-line
+collection, per-item subprocess isolation, and timeout handling — the
+machinery must be trustworthy so a mid-queue device death still yields a
+usable REVALIDATION.json."""
+
+import json
+import sys
+
+from benchmarks.revalidate import parse_json_lines, run_item
+
+
+def test_parse_json_lines_filters_noise():
+    text = "\n".join([
+        "compiling...",
+        '{"metric": "a", "value": 1}',
+        "{not json}",
+        '  {"metric": "b", "value": 2.5}  ',
+        "done",
+    ])
+    rows = parse_json_lines(text)
+    assert [r["metric"] for r in rows] == ["a", "b"]
+
+
+def test_run_item_collects_metrics():
+    cmd = [sys.executable, "-c",
+           'import json; print("noise"); '
+           'print(json.dumps({"metric": "x", "value": 3}))']
+    item = run_item("demo", cmd, timeout_s=60)
+    assert item["status"] == "ok"
+    assert item["results"] == [{"metric": "x", "value": 3}]
+
+
+def test_run_item_records_failure_with_stderr():
+    cmd = [sys.executable, "-c", 'import sys; sys.exit("boom")']
+    item = run_item("demo", cmd, timeout_s=60)
+    assert item["status"] == "failed"
+    assert "boom" in item["stderr_tail"]
+
+
+def test_run_item_timeout_preserves_partial_output():
+    cmd = [sys.executable, "-u", "-c",
+           'import json, time; '
+           'print(json.dumps({"metric": "early", "value": 1}), flush=True); '
+           'time.sleep(60)']
+    item = run_item("demo", cmd, timeout_s=3)
+    assert item["status"] == "timeout"
+    assert [r["metric"] for r in item["results"]] == ["early"]
