@@ -10,7 +10,7 @@ builds a synthetic "census" vocabulary + checkpoint in a temp workspace, then
 performs the exact preprocessing + inference steps a user would run against
 the released census artifacts. To use real artifacts instead:
 
-    python -m scldm_tpu.cli.download --groups datasets fm_observational
+    python -m scldm_tpu.utils.artifacts --groups datasets fm_observational
     # then point --metadata-genes / --ckpt at the downloaded files
 
 Run: python -m examples.census_inference  [--workdir /tmp/census_demo]

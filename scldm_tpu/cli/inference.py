@@ -86,9 +86,12 @@ def main(argv=None) -> int:
     gen_args = cfg.get("generation_args")
     if gen_args:
         sfs = SizeFactorSampler(vocab, vocab.condition_strategy)
+        gw = gen_args.get("guidance_weight")
+        if isinstance(gw, (int, float)):  # scalar override -> every class
+            gw = {name: float(gw) for name in (dit.class_vocab_sizes or {})}
         sample_fn = task.make_sample_fn(
             sfs,
-            guidance_weight=gen_args.get("guidance_weight"),
+            guidance_weight=gw,
             sampling_method=gen_args.get("sampling_method", "dopri5"),
             num_steps=int(gen_args.get("timesteps", 50)),
             use_ema=bool(gen_args.get("use_ema", True)),
