@@ -73,9 +73,11 @@ def run_item(name: str, cmd, timeout_s: int) -> dict:
             cmd, capture_output=True, text=True, timeout=timeout_s, cwd=REPO, env=env,
         )
     except subprocess.TimeoutExpired as e:
-        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        def _text(x):
+            return x.decode(errors="replace") if isinstance(x, bytes) else (x or "")
         return {"status": "timeout", "elapsed_s": round(time.time() - t0, 1),
-                "results": parse_json_lines(out), "stderr_tail": ""}
+                "results": parse_json_lines(_text(e.stdout)),
+                "stderr_tail": _text(e.stderr).strip()[-500:]}
     status = "ok" if r.returncode == 0 else "failed"
     return {
         "status": status,
@@ -94,6 +96,19 @@ def parse_json_lines(text: str):
                 rows.append(json.loads(line))
             except json.JSONDecodeError:
                 pass
+    if rows:
+        return rows
+    # some items (quality_e2e) print ONE indented multi-line JSON object
+    # instead of JSON lines — recover it: fix the end at the last '}', try
+    # each '{' start until one parses (earlier braces in log lines fail)
+    text = text or ""
+    end = text.rfind("}")
+    start = text.find("{")
+    while 0 <= start < end:
+        try:
+            return [json.loads(text[start : end + 1])]
+        except json.JSONDecodeError:
+            start = text.find("{", start + 1)
     return rows
 
 

@@ -56,11 +56,18 @@ class StepProfiler:
             float(metrics["train_loss"])  # drain the compile dispatch
             try:
                 jax.profiler.start_trace(self.log_dir, create_perfetto_link=False)
-            except Exception:
-                # a crashed earlier fit() in this process left a trace open;
-                # its partial data is lost either way — recover the session
-                jax.profiler.stop_trace()
-                jax.profiler.start_trace(self.log_dir, create_perfetto_link=False)
+            except Exception as start_err:
+                # a crashed earlier fit() in this process may have left a
+                # trace open; its partial data is lost either way — try to
+                # recover the session. If the recovery itself fails (nothing
+                # was open: the start failed for a real reason, e.g. a bad
+                # profile_dir), surface the ORIGINAL error, not the masked
+                # 'no profile session running'.
+                try:
+                    jax.profiler.stop_trace()
+                    jax.profiler.start_trace(self.log_dir, create_perfetto_link=False)
+                except Exception:
+                    raise start_err
             self._active = True
         elif self._active and self._n >= 1 + self.steps:
             float(metrics["train_loss"])  # force the profiled work to finish

@@ -21,6 +21,18 @@ def test_parse_json_lines_filters_noise():
     assert [r["metric"] for r in rows] == ["a", "b"]
 
 
+def test_parse_json_lines_recovers_indented_object():
+    """quality_e2e prints ONE indented multi-line JSON object; earlier log
+    lines containing braces must not derail the recovery."""
+    text = "\n".join([
+        'VAE: {"val_llh": 2266.4} (3256s)',   # braces inside a log line
+        "LDM: loss 1.8 -> 0.5 (3593s)",
+        json.dumps({"vae": {"val_llh": 2266.4}, "gen/r2_mean": 0.99}, indent=2),
+    ])
+    rows = parse_json_lines(text)
+    assert len(rows) == 1 and rows[0]["gen/r2_mean"] == 0.99
+
+
 def test_run_item_collects_metrics():
     cmd = [sys.executable, "-c",
            'import json; print("noise"); '
@@ -39,9 +51,12 @@ def test_run_item_records_failure_with_stderr():
 
 def test_run_item_timeout_preserves_partial_output():
     cmd = [sys.executable, "-u", "-c",
-           'import json, time; '
+           'import json, sys, time; '
            'print(json.dumps({"metric": "early", "value": 1}), flush=True); '
+           'print("relay unreachable", file=sys.stderr, flush=True); '
            'time.sleep(60)']
     item = run_item("demo", cmd, timeout_s=3)
     assert item["status"] == "timeout"
     assert [r["metric"] for r in item["results"]] == ["early"]
+    # the one diagnostic that explains a wedge must survive the timeout
+    assert "relay unreachable" in item["stderr_tail"]
