@@ -93,7 +93,7 @@ class ScviTask:
         example_batch = jax.tree_util.tree_map(jnp.asarray, dict(example_batch))
         example_batch = self._materialize(example_batch)
         variables = jax.jit(self.vae.init, static_argnames=("train",))(
-            {"params": rng, "sample": rng},
+            {"params": rng, "sample": rng, "dropout": rng},
             counts=jnp.asarray(example_batch[COUNTS]),
             genes=jnp.asarray(example_batch[GENES]),
             library_size=jnp.asarray(example_batch[LIB]),
@@ -116,6 +116,10 @@ class ScviTask:
         return recon.sum(1).mean(), kl.sum(1).mean()
 
     def _train_step_impl(self, state: TrainState, batch: Dict):
+        # lean batches carry only the expressed subsets — rebuild the dense
+        # counts ONCE here so the ELBO target and the model input agree
+        # (_materialize is idempotent; _apply re-calling it is a no-op)
+        batch = self._materialize(batch)
         rng, rng_s = jax.random.split(state.rng)
 
         def loss_fn(params):
@@ -164,13 +168,17 @@ class ScviTask:
         batch = self._materialize(batch)
         variables = {"params": params["params"], "batch_stats": batch_stats}
         if train:
+            # scVI MLPs apply Dropout at train time (reference nnets.py:19-73,
+            # dropout 0.1 default) — the "dropout" rng collection is required
+            # alongside the reparameterization "sample" stream
+            rng_s, rng_d = jax.random.split(rng)
             (out, posterior, z), mutated = self.vae.apply(
                 variables,
                 counts=batch[COUNTS],
                 genes=batch[GENES],
                 library_size=batch[LIB],
                 train=True,
-                rngs={"sample": rng},
+                rngs={"sample": rng_s, "dropout": rng_d},
                 mutable=["batch_stats"],
             )
             return out, (posterior, z), mutated["batch_stats"]
@@ -185,6 +193,7 @@ class ScviTask:
         return out, (posterior, z), batch_stats
 
     def _eval_step_impl(self, params, batch_stats, batch: Dict, rng: jax.Array) -> Dict:
+        batch = self._materialize(batch)  # lean batches: see _train_step_impl
         rng_s, rng_nb = jax.random.split(rng)
         out, (posterior, z), _ = self._apply(params, batch_stats, batch, rng_s, train=False)
         counts = batch[COUNTS]

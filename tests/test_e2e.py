@@ -93,6 +93,31 @@ def test_vae_training_profile_capture(workspace):
     assert captured, f"no trace files under {profile_dir}"
 
 
+def test_scvi_training_cli(workspace):
+    """The third trainer entry point (reference models.VAEScvi via train.py)
+    end to end: config compose -> MLP-VAE ELBO training -> checkpoints."""
+    from pathlib import Path
+
+    from scldm_tpu.cli.train_scvi import main
+
+    config = Path(__file__).parent.parent / "configs" / "vae_scvi_training.yaml"
+    overrides = [
+        o for o in _common_overrides(workspace) if not o.startswith("model.vae.")
+    ] + [
+        f"paths.output_path={workspace / 'outputs_scvi'}",
+        "model.scvi.n_hidden=16",
+        "model.scvi.n_latent=4",
+        "epochs=1",
+    ]
+    rc = main(["--config", str(config)] + overrides)
+    assert rc == 0
+    ckpt = workspace / "outputs_scvi" / "checkpoints" / "scvi_dentate_gyrus"
+    assert (ckpt / "config.json").exists()
+    assert (ckpt / "metrics.csv").exists()
+    steps = [int(p.name) for p in ckpt.iterdir() if p.name.isdigit()]
+    assert steps, "no checkpoint written"
+
+
 def test_ldm_training_cli(workspace):
     from scldm_tpu.cli.train_ldm import main
 

@@ -35,6 +35,22 @@ def _batch(key, n=16, g=30):
     }
 
 
+def test_scvi_trains_with_dropout():
+    """The reference scVI MLPs default to dropout 0.1 (nnets.py:19-73): the
+    train path must supply the 'dropout' rng collection (this regressed
+    silently while every test used dropout=0.0)."""
+    cfg = _cfg()
+    cfg["model"]["scvi"]["dropout"] = 0.1
+    task = build_scvi_task(cfg, max_steps=10)
+    batch = _batch(jax.random.PRNGKey(0))
+    state = task.init_state(jax.random.PRNGKey(1), batch)
+    state, m = task.train_step(state, batch)
+    assert np.isfinite(float(m["train_loss"]))
+    # eval path runs deterministic (no dropout rng needed)
+    em = task.eval_step(state, batch, jax.random.PRNGKey(2))
+    assert all(np.isfinite(float(v)) for v in em.values())
+
+
 def test_scvi_elbo_decreases():
     task = build_scvi_task(_cfg(), max_steps=200)
     batch = _batch(jax.random.PRNGKey(0))
