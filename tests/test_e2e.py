@@ -93,6 +93,42 @@ def test_vae_training_profile_capture(workspace):
     assert captured, f"no trace files under {profile_dir}"
 
 
+def test_extract_metadata_cli_full_circle(workspace, tmp_path):
+    """README quickstart step 0 verbatim: extract_metadata produces the
+    metadata JSON + size-factor stats that the VocabularyEncoder and the
+    training CLI consume directly (reference scripts/extract_metadata.py)."""
+    from scldm_tpu.cli.extract_metadata import main as extract_main
+    from scldm_tpu.cli.train import main as train_main
+
+    out_json = tmp_path / "meta_extracted.json"
+    rc = extract_main([
+        str(workspace / "train.h5ad"), "--labels", "clusters",
+        "--out", str(out_json), "--size-factors-out", str(tmp_path / "ds"),
+    ])
+    assert rc == 0
+    meta = json.loads(out_json.read_text())
+    assert len(meta["genes"]) == G and set(meta["labels"]) == {"clusters"}
+    mu = json.loads((tmp_path / "ds_log_size_factor_mu.json").read_text())
+    sd = json.loads((tmp_path / "ds_log_size_factor_sd.json").read_text())
+    # every category present in the data must have finite stats
+    assert mu["clusters"] and sd["clusters"]
+    assert all(np.isfinite(v) for v in mu["clusters"].values())
+    assert all(v > 0 for v in sd["clusters"].values())
+
+    # the extracted artifacts drive training unchanged
+    overrides = [
+        o for o in _common_overrides(workspace)
+        if "metadata_json" not in o and "size_factor" not in o
+    ] + [
+        f"datamodule.dataset_params.dentate_gyrus.metadata_json={out_json}",
+        f"datamodule.dataset_params.dentate_gyrus.mu_size_factor={tmp_path / 'ds_log_size_factor_mu.json'}",
+        f"datamodule.dataset_params.dentate_gyrus.sd_size_factor={tmp_path / 'ds_log_size_factor_sd.json'}",
+        f"paths.output_path={tmp_path / 'outputs'}",
+        "epochs=1",
+    ]
+    assert train_main(overrides) == 0
+
+
 def test_scvi_training_cli(workspace):
     """The third trainer entry point (reference models.VAEScvi via train.py)
     end to end: config compose -> MLP-VAE ELBO training -> checkpoints."""
