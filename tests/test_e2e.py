@@ -175,6 +175,49 @@ def test_ldm_training_cli(workspace):
     assert cfg["model"]["diffusion_model"]["seq_len"] == 4
 
 
+def test_ldm_in_training_generation_eval(workspace, tmp_path):
+    """model.eval_generation.enabled=true: the periodic generation eval
+    (reference models.py:849-939) samples from the EMA model during
+    validation and logs MMD/W2/R2 rows to generation_eval.csv."""
+    import csv
+
+    from scldm_tpu.cli.train_ldm import main
+
+    vae_ckpt = workspace / "outputs" / "checkpoints" / "vae_dentate_gyrus"
+    if not vae_ckpt.exists():  # standalone run: train the VAE first
+        from scldm_tpu.cli.train import main as train_vae
+
+        assert train_vae(_common_overrides(workspace)) == 0
+
+    overrides = _common_overrides(workspace) + [
+        f"paths.output_path={tmp_path / 'outputs'}",
+        # reuse the VAE trained by test_vae_training_cli in the module workspace
+        f"vae_checkpoint_dir={workspace / 'outputs' / 'checkpoints' / 'vae_dentate_gyrus'}",
+        "model.diffusion_model.n_embed=32",
+        "model.diffusion_model.n_layer=1",
+        "model.diffusion_model.n_head=2",
+        "model.ema.update_after_step=0",
+        "model.ema.update_every=1",
+        "model.eval_generation.enabled=true",
+        "model.eval_generation.freq=1",
+        "model.eval_generation.warmup_epochs=0",
+        "model.eval_generation.sample_size=16",
+        "model.eval_generation.timesteps=4",
+        "model.eval_generation.sampling_method=euler",
+        "epochs=2",  # eval fires at epoch 1 (gate requires epoch > 0)
+        "datamodule.datamodule.val_fraction=0.2",
+    ]
+    rc = main(overrides)
+    assert rc == 0
+    csv_path = tmp_path / "outputs" / "checkpoints" / "ldm_dentate_gyrus" / "generation_eval.csv"
+    assert csv_path.exists(), "generation eval never ran"
+    rows = list(csv.DictReader(csv_path.open()))
+    assert rows, "no eval rows logged"
+    vals = {k: float(v) for k, v in rows[-1].items() if v}
+    assert any(k.startswith("gen/") or "mmd" in k for k in vals), vals
+    assert all(np.isfinite(v) for v in vals.values()), vals
+
+
 def test_generation_cli(workspace):
     from pathlib import Path
 
