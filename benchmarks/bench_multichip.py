@@ -100,11 +100,15 @@ def run_point(config_name: str, n_data: int, n_model: int, steps: int) -> dict:
     }
 
 
-def run_generation_point(config_name: str, n_data: int, num_steps: int) -> dict:
-    """DP CFG-generation scaling: the one jitted noise -> CFG ODE -> decode ->
-    NB program (LDMTask.make_sample_fn) with the condition batch sharded over
-    "data". The reference samples single-device (experiments/scripts/
-    inference.py:69); this measures the mesh-first extension."""
+def run_generation_point(
+    config_name: str, n_data: int, num_steps: int, n_model: int = 1
+) -> dict:
+    """DP (x TP) CFG-generation scaling: the one jitted noise -> CFG ODE ->
+    decode -> NB program (LDMTask.make_sample_fn) with the condition batch
+    sharded over "data"; with n_model>1 the decode is additionally
+    sequence-parallel over the GENE axis (the census decode memory gate).
+    The reference samples single-device (experiments/scripts/inference.py:69);
+    this measures the mesh-first extension."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -119,8 +123,13 @@ def run_generation_point(config_name: str, n_data: int, num_steps: int) -> dict:
     from scldm_tpu.transport import create_transport
 
     cfg = CONFIGS[config_name]
-    devices = jax.devices()[:n_data]
-    mesh = make_mesh(n_data=n_data, n_model=1, devices=devices) if n_data > 1 else None
+    n_dev = n_data * n_model
+    devices = jax.devices()[:n_dev]
+    mesh = (
+        make_mesh(n_data=n_data, n_model=n_model, devices=devices)
+        if n_dev > 1
+        else None
+    )
 
     vae = build_transformer_vae(
         n_genes=cfg["n_genes"], dtype=jnp.bfloat16, **cfg["model"]
@@ -175,8 +184,8 @@ def run_generation_point(config_name: str, n_data: int, num_steps: int) -> dict:
         best = min(best, time.perf_counter() - t0)
     return {
         "config": f"{config_name}_generation",
-        "mesh": [n_data, 1],
-        "devices": n_data,
+        "mesh": [n_data, n_model],
+        "devices": n_dev,
         "global_batch": global_batch,
         "ms_per_batch": round(best * 1e3, 2),
         # doubled batch: unconditional + conditional halves
@@ -252,6 +261,17 @@ def main(argv=None):
             for d in sweep:
                 r = run_generation_point(config, n_data=d, num_steps=args.gen_steps)
                 gbase = gbase or r["cells_per_sec"]
+                r["scaling_vs_1dev"] = round(r["cells_per_sec"] / gbase, 2)
+                results.append(r)
+                print(json.dumps(r), flush=True)
+            # DP x TP point: gene-axis-sharded decode (sequence parallelism
+            # over the query/gene axis — divides the (2B, G, E) decode
+            # activations by n_model per chip)
+            if n_avail >= 4:
+                r = run_generation_point(
+                    config, n_data=n_avail // 2, num_steps=args.gen_steps,
+                    n_model=2,
+                )
                 r["scaling_vs_1dev"] = round(r["cells_per_sec"] / gbase, 2)
                 results.append(r)
                 print(json.dumps(r), flush=True)

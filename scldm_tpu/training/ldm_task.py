@@ -338,6 +338,29 @@ class LDMTask:
         latent = self.vae.encoder.latent_embedding
         seq_len = self.dit.seq_len
 
+        # mesh-first generation: batch rides the "data" axis; with a model
+        # axis >1 the decode is additionally sequence-parallel over the GENE
+        # axis — the (2B, G, E) cross-attention activations (the memory gate
+        # for census-scale decode, ROADMAP census budget) shrink by n_model
+        # per chip, with GSPMD propagating the constraint back through the
+        # NB head and the gene-query cross block. The reference has no analog
+        # (single-device inference, experiments/scripts/inference.py:69).
+        mesh = self.mesh
+        tp = mesh is not None and mesh.shape.get("model", 1) > 1
+
+        def _constrain_genes(tree):
+            if not tp:
+                return tree
+            def put(v):
+                if v.ndim == 1:  # (G,) shared-theta row
+                    return jax.lax.with_sharding_constraint(
+                        v, NamedSharding(mesh, P("model"))
+                    )
+                return jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, P("data", "model"))
+                )
+            return jax.tree_util.tree_map(put, tree)
+
         @partial(jax.jit, static_argnums=(5,))
         def sample_fn(dit_params, vae_params, rng, genes, condition, batch_size):
             k_sf, k_z, k_nb = jax.random.split(rng, 3)
@@ -355,6 +378,12 @@ class LDMTask:
                 and jax.default_backend() == "tpu"
                 and self.dit.dropout == 0.0
             )
+            if mesh is not None and not use_fused:
+                # pin the denoise loop's batch to "data" (the fused-Pallas DiT
+                # path is left unconstrained: pallas_call partitions manually)
+                z_cfg = jax.lax.with_sharding_constraint(
+                    z_cfg, NamedSharding(mesh, P("data"))
+                )
 
             def model_fn(x, t, condition=None):
                 # batched-CFG: one fused model call per denoiser step
@@ -395,6 +424,7 @@ class LDMTask:
             sf = jnp.exp(log_sf).reshape(-1, 1)
             sf_cfg = jnp.concatenate([sf, sf], axis=0)
             out = self.vae.apply(vae_params, samples, genes_cfg, sf_cfg, method="decode")
+            out = _constrain_genes(out)
             counts = nb_sample(k_nb, out["mu"], out["theta"])
             return counts, samples
 

@@ -429,6 +429,51 @@ class TestLDMTask:
         assert z.shape == (2 * B, 4, 8)
         assert (np.asarray(counts) >= 0).all()
 
+    def test_sample_fn_gene_axis_sharded_parity(self, ldm_setup):
+        """Mesh generation with a model axis >1: the decode is
+        sequence-parallel over the GENE axis (with_sharding_constraint on the
+        NB head outputs; GSPMD shards the (2B, G, E) cross activations by
+        n_model per chip) and reproduces the unsharded program's samples.
+        No reference analog — inference there is single-device
+        (experiments/scripts/inference.py:69)."""
+        task, init, batch = ldm_setup
+        state = init()
+        state, _ = task.train_step(state, batch)
+        sfs = SizeFactorSampler.__new__(SizeFactorSampler)
+        sfs.strategy = "mutually_exclusive"
+        sfs.tables = {}
+        sfs.joint_table = None
+        sfs.joint_components = None
+        kwargs = dict(
+            guidance_weight={"clusters": 1.0}, sampling_method="euler",
+            num_steps=3,
+        )
+        fn = task.make_sample_fn(sfs, **kwargs)
+        cond = {"clusters": batch["clusters"]}
+        counts1, z1 = fn(state, jax.random.PRNGKey(7), batch["genes"], cond)
+
+        # same trained state through a mesh-carrying task: only the sharding
+        # constraints differ, so values must match
+        mesh = make_mesh(n_data=2, n_model=2)
+        task_tp = LDMTask(
+            task.vae, task.vae_params, task.dit, create_transport(),
+            num_training_steps=100, ema_update_after_step=0,
+            ema_update_every=1, mesh=mesh,
+        )
+        fn_tp = task_tp.make_sample_fn(sfs, **kwargs)
+        counts2, z2 = fn_tp(state, jax.random.PRNGKey(7), batch["genes"], cond)
+
+        # the gene axis really is sharded over "model"
+        spec = counts2.sharding.spec
+        assert "model" in jax.tree_util.tree_leaves(tuple(spec)), spec
+        np.testing.assert_allclose(
+            np.asarray(z1), np.asarray(z2), rtol=1e-5, atol=1e-5
+        )
+        # counts are discrete NB draws from (near-)identical mu/theta: allow
+        # a vanishing fraction of threshold flips from fp re-association
+        mismatch = (np.asarray(counts1) != np.asarray(counts2)).mean()
+        assert mismatch < 1e-3, f"{mismatch:.4f} of counts differ"
+
 
 # ---------------------------------------------------------------------------
 # checkpoint roundtrip
