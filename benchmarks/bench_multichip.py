@@ -53,7 +53,9 @@ def synth_batch(rng, batch, n_genes, seq_len):
                       nnz_range=(seq_len // 4, seq_len - 1))
 
 
-def run_point(config_name: str, n_data: int, n_model: int, steps: int) -> dict:
+def run_point(
+    config_name: str, n_data: int, n_model: int, steps: int, gene_sp: bool = False
+) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -70,7 +72,7 @@ def run_point(config_name: str, n_data: int, n_model: int, steps: int) -> dict:
     vae = build_transformer_vae(
         n_genes=cfg["n_genes"], dtype=jnp.bfloat16, **cfg["model"]
     )
-    task = VAETask(vae, num_training_steps=10_000, mesh=mesh)
+    task = VAETask(vae, num_training_steps=10_000, mesh=mesh, gene_sp=gene_sp)
     global_batch = cfg["batch"] * n_data  # per-device batch held constant (weak scaling)
     batch = synth_batch(np.random.default_rng(0), global_batch, cfg["n_genes"], cfg["seq_len"])
     state = task.init_state(jax.random.PRNGKey(0), batch)
@@ -90,7 +92,7 @@ def run_point(config_name: str, n_data: int, n_model: int, steps: int) -> dict:
         _ = float(metrics["train_loss"])  # scalar-fetch device sync
         best = min(best, (time.perf_counter() - t0) / steps)
     return {
-        "config": config_name,
+        "config": config_name + ("_gene_sp" if gene_sp else ""),
         "mesh": [n_data, n_model],
         "devices": n_dev,
         "global_batch": global_batch,
@@ -250,12 +252,19 @@ def main(argv=None):
             r["scaling_vs_1dev"] = round(r["cells_per_sec"] / base, 2)
             results.append(r)
             print(json.dumps(r), flush=True)
-        # census also exercises DP x TP (Megatron column/row rules over "model")
-        if config == "census" and n_avail >= 4:
-            r = run_point(config, n_data=n_avail // 2, n_model=2, steps=args.steps)
-            r["scaling_vs_1dev"] = round(r["cells_per_sec"] / base, 2)
-            results.append(r)
-            print(json.dumps(r), flush=True)
+        # census also exercises DP x TP (Megatron column/row rules over
+        # "model") and DP x gene-SP (decode gene axis over "model" — halves
+        # the activation-gated census step's per-chip temps with param-sized
+        # instead of activation-sized collectives)
+        if config in ("census", "tiny") and n_avail >= 4:
+            for sp in (False, True):
+                r = run_point(
+                    config, n_data=n_avail // 2, n_model=2, steps=args.steps,
+                    gene_sp=sp,
+                )
+                r["scaling_vs_1dev"] = round(r["cells_per_sec"] / base, 2)
+                results.append(r)
+                print(json.dumps(r), flush=True)
         if args.generation:
             gbase = None
             for d in sweep:

@@ -169,6 +169,7 @@ def build_vae_task(cfg: Dict, vae: TransformerVAE, max_steps: int, mesh=None) ->
         calculate_grad_norms=tr.get("calculate_grad_norms", False),
         mesh=mesh,
         fsdp=tr.get("fsdp", False),
+        gene_sp=tr.get("gene_sp", False),
     )
 
 

@@ -86,12 +86,19 @@ def _fit_spec(spec: P, shape: Tuple[int, ...], mesh: Mesh, fsdp: bool) -> P:
     return P(*axes)
 
 
-def shard_params(params, mesh: Mesh, fsdp: bool = False):
-    """device_put a param pytree with the TP/DP (+ optional FSDP) rules."""
+def shard_params(params, mesh: Mesh, fsdp: bool = False, megatron: bool = True):
+    """device_put a param pytree with the TP/DP (+ optional FSDP) rules.
+
+    ``megatron=False`` replicates every parameter over the "model" axis
+    (FSDP still applies): the layout for gene/sequence parallelism, where
+    the "model" axis carries the decode ACTIVATION gene axis instead of
+    parameter columns — both uses of the axis at once would force GSPMD to
+    re-gather operands inside every cross-block matmul."""
 
     def put(path, leaf):
         keys = tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in path)
-        spec = _fit_spec(param_pspec(keys), leaf.shape, mesh, fsdp)
+        spec = param_pspec(keys) if megatron else P()
+        spec = _fit_spec(spec, leaf.shape, mesh, fsdp)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, params)

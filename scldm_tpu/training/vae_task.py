@@ -438,6 +438,7 @@ class VAETask:
         fused_pool: Optional[bool] = None,  # opt-in: window-kernel MCAB pooling (census widths)
         mesh: Optional[Mesh] = None,
         fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
+        gene_sp: bool = False,  # decode-side gene (sequence) parallelism over "model"
     ):
         self.vae = vae
         self.fsdp = fsdp
@@ -458,6 +459,26 @@ class VAETask:
         self.fused_pool = bool(fused_pool) and _fused_window_ok(vae)
         self._pool_interpret = False  # tests: run the pool kernel in interpret mode
         self.mesh = mesh
+        # gene/sequence parallelism: shard the decoder's GENE axis over the
+        # mesh "model" axis. The census step is activation-gated — the cross
+        # block's SwiGLU hidden (B, G, ~2.75E) is the tensor that OOMs B=32
+        # at G=36601/E=512 (ROADMAP census budget) — and gene tokens never
+        # attend to each other, so splitting G is collective-free until the
+        # loss psum. Mutually exclusive with Megatron TP (same mesh axis
+        # carries activations, not param columns); params replicate over
+        # "model" instead. Requires the shared-embedding decoder (the
+        # default) so the queries can be constrained before the cross block.
+        self.gene_sp = (
+            bool(gene_sp)
+            and mesh is not None
+            and mesh.shape.get("model", 1) > 1
+            and vae.decoder.shared_embedding
+        )
+        if self.gene_sp:
+            # the fused Pallas paths partition manually and are only eligible
+            # at E<=128, where activations are not the gate — module path only
+            self.fused_decoder = False
+            self.fused_pool = False
         if num_warmup_steps is None:
             num_warmup_steps = max(1, int(0.1 * num_training_steps))  # _utils.py:96-106
         schedule = wsd_schedule(
@@ -507,7 +528,9 @@ class VAETask:
         if self.mesh is not None:
             from scldm_tpu.parallel.sharding_rules import shard_params
 
-            params = shard_params(params, self.mesh, fsdp=self.fsdp)
+            params = shard_params(
+                params, self.mesh, fsdp=self.fsdp, megatron=not self.gene_sp
+            )
         state = create_train_state(rng, params, self.tx)
         if self.mesh is not None:
             # non-param leaves (rng, step) replicate; opt state follows params
@@ -538,8 +561,56 @@ class VAETask:
             out[LIB] = counts.sum(1, keepdims=True)
         return out
 
+    def _gene_shard(self, x: jax.Array, gene_axis: int) -> jax.Array:
+        """Constrain one tensor's gene axis over "model" (batch axis, if any
+        leading one, stays on "data")."""
+        axes: list = [None] * x.ndim
+        axes[gene_axis] = "model"
+        if gene_axis > 0:
+            axes[0] = "data"
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(*axes))
+        )
+
+    def _apply_gene_sp(self, params, batch, train: bool, rng):
+        """`TransformerVAE.__call__` with the decoder's gene/query axis
+        sharded over the mesh "model" axis (sequence parallelism over genes).
+
+        The encode side (packed window, latent tokens) is batch-sharded as
+        usual; the decoder queries are constrained to P(["data",] "model", -)
+        before the cross block, so GSPMD computes the cross attention, SwiGLU
+        and NB head on G/n_model genes per chip — gene tokens only attend to
+        the latent kv, never each other, so the only collectives are the
+        softmax/loss reductions over the gene axis. No reference analog (DDP
+        only, SURVEY.md §2.6)."""
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        emb = self.vae.apply(
+            params,
+            batch.get(C_SUB, batch[COUNTS]),
+            batch.get(G_SUB, batch[GENES]),
+            method=lambda m, c, g: m.input_layer(c, g),
+        )
+        h_z = self.vae.apply(
+            params, emb, train,
+            method=lambda m, e, tr: m.encoder(e, train=tr), rngs=rngs,
+        )
+        genes = batch[GENES]
+        q = self.vae.apply(params, genes, method="_decoder_queries")
+        q = self._gene_shard(q, q.ndim - 2)
+        out = self.vae.apply(
+            params, h_z, q, genes, batch[LIB], train,
+            method=lambda m, z, qq, g, l, tr: m._head_params(
+                m.decoder(z, qq, train=tr), g, l
+            ),
+            rngs=rngs,
+        )
+        out = {k: self._gene_shard(v, v.ndim - 1) for k, v in out.items()}
+        return out, h_z
+
     def _apply(self, params, batch, train: bool, rng: Optional[jax.Array] = None):
         rngs = {"dropout": rng} if (train and rng is not None) else None
+        if self.gene_sp:
+            return self._apply_gene_sp(params, batch, train, rng)
         if self.fused_pool:
             return self._apply_fused_pool(params, batch, train, rngs)
         return self.vae.apply(
@@ -587,6 +658,11 @@ class VAETask:
             self.fused_decoder and COUNTS not in batch and C_SUB in batch
         )
         batch = self._materialize(batch)
+        if self.gene_sp:
+            # the NLL target shards like mu, so the loss computes shard-local
+            # and only its sum crosses the "model" axis
+            batch = dict(batch)
+            batch[COUNTS] = self._gene_shard(batch[COUNTS], 1)
         rng, rng_d = jax.random.split(state.rng)
 
         def loss_fn(params):
@@ -641,6 +717,9 @@ class VAETask:
         """Validation metrics (reference models.py:289-333): loss, theta,
         zeros-accuracy, MSE/PCC on log1p-CPM-scaled sampled counts."""
         batch = self._materialize(batch)
+        if self.gene_sp:
+            batch = dict(batch)
+            batch[COUNTS] = self._gene_shard(batch[COUNTS], 1)
         out, _ = self._apply(params, batch, train=False)
         counts = batch[COUNTS]
         loss = vae_loss(counts, out, self.gaussian_head)

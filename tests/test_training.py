@@ -321,6 +321,70 @@ class TestVAETask:
             s8, m8 = task_f.train_step(s8, sharded)
         assert float(m1["train_loss"]) == pytest.approx(float(m8["train_loss"]), rel=1e-4)
 
+    def test_gene_sp_parity_and_layout(self):
+        """Gene/sequence parallelism (VAETask(gene_sp=True)): the decoder's
+        gene axis shards over "model" — dividing the census-gating cross-block
+        activations per chip — while params replicate over that axis, and two
+        training steps reproduce the single-device losses. No reference
+        analog (DDP only, SURVEY.md §2.6)."""
+        batch = make_batch(jax.random.PRNGKey(0))
+        task1 = self._task(mesh=None)
+        state1 = task1.init_state(jax.random.PRNGKey(1), batch)
+        for _ in range(2):
+            state1, m1 = task1.train_step(state1, batch)
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        task_sp = VAETask(
+            task1.vae, num_training_steps=100, learning_rate=1e-3,
+            mesh=mesh, gene_sp=True,
+        )
+        assert task_sp.gene_sp
+        state_sp = task_sp.init_state(jax.random.PRNGKey(1), batch)
+        # params REPLICATE over "model": the axis carries the decode
+        # activations' gene dim, not Megatron columns
+        specs = [
+            str(getattr(leaf.sharding, "spec", ""))
+            for leaf in jax.tree_util.tree_leaves(state_sp.params)
+        ]
+        assert not any("model" in s for s in specs), specs
+        sharded = shard_batch(batch, mesh)
+        for _ in range(2):
+            state_sp, m_sp = task_sp.train_step(state_sp, sharded)
+        assert float(m1["train_loss"]) == pytest.approx(
+            float(m_sp["train_loss"]), rel=1e-4
+        )
+
+        # the decode output really is gene-sharded over "model"
+        fwd = jax.jit(lambda p, b: task_sp._apply(p, b, False)[0])
+        out = fwd(state_sp.params, sharded)
+        spec = tuple(out["mu"].sharding.spec)
+        assert "model" in jax.tree_util.tree_leaves(spec), spec
+
+        mets = task_sp.eval_step(state_sp, sharded, jax.random.PRNGKey(2))
+        assert np.isfinite(float(mets["val_loss"]))
+
+    def test_gene_sp_composes_with_fsdp(self):
+        """gene_sp (activations over "model") + FSDP (params over "data")
+        occupy different mesh axes and run together."""
+        vae = build_transformer_vae(
+            n_genes=N_GENES, n_embed=64, n_embed_latent=16, n_layer=1,
+            n_inducing_points=4, n_head=4, n_head_cross=4,
+        )
+        batch = make_batch(jax.random.PRNGKey(0))
+        mesh = make_mesh(n_data=4, n_model=2)
+        task = VAETask(
+            vae, num_training_steps=100, mesh=mesh, fsdp=True, gene_sp=True
+        )
+        state = task.init_state(jax.random.PRNGKey(1), batch)
+        specs = [
+            str(getattr(leaf.sharding, "spec", ""))
+            for leaf in jax.tree_util.tree_leaves(state.params)
+        ]
+        assert any("data" in s for s in specs), specs
+        assert not any("model" in s for s in specs), specs
+        state, m = task.train_step(state, shard_batch(batch, mesh))
+        assert np.isfinite(float(m["train_loss"]))
+
     def test_fsdp_composes_with_tp(self):
         """FSDP over "data" composes with Megatron TP over "model" on a
         (4, 2) mesh — each parameter carries at most one of each axis."""
