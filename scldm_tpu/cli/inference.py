@@ -67,7 +67,18 @@ def main(argv=None) -> int:
     from scldm_tpu.parallel.mesh import make_mesh
 
     single_process = jax.process_count() == 1
-    mesh = make_mesh() if (single_process and len(jax.devices()) > 1) else None
+    n_dev = len(jax.devices())
+    # n_model > 1 additionally shards the generation decode over the GENE
+    # axis (sequence parallelism — the census decode memory gate; see
+    # LDMTask.make_sample_fn)
+    n_model = int(cfg.get("n_model") or 1)
+    if n_dev % max(n_model, 1):
+        raise SystemExit(f"n_model={n_model} must divide the device count {n_dev}")
+    mesh = (
+        make_mesh(n_data=n_dev // n_model, n_model=n_model)
+        if (single_process and n_dev > 1)
+        else None
+    )
     if mesh is not None:
         logger.info(f"inference mesh: {mesh}")
 

@@ -231,6 +231,9 @@ def test_generation_cli(workspace):
         "generation_args.timesteps=4",
         "generation_args.sampling_method=euler",
         "generation_args.n_batches=1",
+        # (4,2) mesh over the 8 virtual devices: exercises the gene-axis-
+        # sharded (sequence-parallel) generation decode through the CLI
+        "n_model=2",
         "datamodule.datamodule.val_as_test=false",
         f"datamodule.datamodule.test_adata_path={workspace / 'train.h5ad'}",
     ]
