@@ -236,6 +236,7 @@ def build_ldm_task(
         calculate_grad_norms=tr.get("calculate_grad_norms", False),
         mesh=mesh,
         fsdp=tr.get("fsdp", False),
+        pipeline_microbatches=tr.get("pipeline_microbatches"),
     )
 
 

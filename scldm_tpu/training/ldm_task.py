@@ -71,6 +71,7 @@ class LDMTask:
         mesh: Optional[Mesh] = None,
         fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
         fused_encode: Optional[bool] = None,  # None = auto (TPU, frozen VAE)
+        pipeline_microbatches: Optional[int] = None,  # GPipe DiT trunk over "model"
     ):
         self.calculate_grad_norms = calculate_grad_norms
         self.fsdp = fsdp
@@ -97,6 +98,31 @@ class LDMTask:
         self.transport = transport
         self.transport_sampler = Sampler(transport)
         self.mesh = mesh
+        # GPipe pipeline parallelism for the DiT trunk (parallel/pipeline.py):
+        # contiguous block ranges live on successive "model"-axis devices,
+        # pipeline_microbatches microbatches stream through them. For DiTs too
+        # deep/wide for one chip (reference-scale ones are not — ROADMAP #9);
+        # params then replicate over "model" (the axis carries stages, not
+        # Megatron columns). Requires dropout-free blocks (like the fused
+        # path) and n_layer divisible by the "model" axis size.
+        self.pipeline = (
+            int(pipeline_microbatches)
+            if (
+                pipeline_microbatches
+                and mesh is not None
+                and mesh.shape.get("model", 1) > 1
+            )
+            else None
+        )
+        if self.pipeline:
+            if dit.dropout != 0.0:
+                raise ValueError("pipeline_microbatches requires DiT dropout=0")
+            if dit.n_layer % mesh.shape["model"]:
+                raise ValueError(
+                    f"DiT n_layer={dit.n_layer} must divide into "
+                    f"{mesh.shape['model']} pipeline stages"
+                )
+            self.fused_training = False  # the trunk runs via the pipeline
         self.ema_cfg = dict(
             beta=ema_decay,
             update_every=ema_update_every,
@@ -146,7 +172,12 @@ class LDMTask:
         if self.mesh is not None:
             from scldm_tpu.parallel.sharding_rules import shard_params
 
-            params = shard_params(params, self.mesh, fsdp=self.fsdp)
+            # under the pipeline the "model" axis carries trunk STAGES: the
+            # raw tree replicates there and the in-jit stack + shard_map
+            # in_specs slice each device's own blocks without communication
+            params = shard_params(
+                params, self.mesh, fsdp=self.fsdp, megatron=not self.pipeline
+            )
             self.vae_params = shard_params(self.vae_params, self.mesh, fsdp=self.fsdp)
         ema_tree = params["dit"]["params"] if self.train_vae else params["params"]
         state = create_train_state(rng, params, self.tx, ema=ema_init(ema_tree))
@@ -215,6 +246,22 @@ class LDMTask:
             zz = self._encode_with(vae_params, batch) if self.train_vae else z
 
             def model_fn(xt, t, condition):
+                if self.pipeline:
+                    # conditioning (rng-exact) via the module, trunk as a
+                    # GPipe pipeline over the mesh "model" axis
+                    from scldm_tpu.parallel.pipeline import pipeline_dit_apply
+
+                    t_emb = self.dit.apply(
+                        dit_params, t, condition, train=True,
+                        method="embed_condition", rngs={"condition": rng_c},
+                    )
+                    return pipeline_dit_apply(
+                        dit_params, xt, t_emb, mesh=self.mesh,
+                        n_micro=self.pipeline,
+                        n_layer=self.dit.n_layer, n_head=self.dit.n_head,
+                        n_embed=self.dit.n_embed, seq_len=self.dit.seq_len,
+                        eps=self.dit.layernorm_eps,
+                    )
                 if self.fused_training:
                     # conditioning (rng-exact) via the module, trunk via the
                     # fused Pallas forward+backward kernels
