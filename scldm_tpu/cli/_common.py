@@ -7,6 +7,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 from scldm_tpu.training.checkpoint import CheckpointManager
+from scldm_tpu.training.preemption import PreemptionGuard
 from scldm_tpu.utils.wandb_logger import WandbLogger
 
 
@@ -20,6 +21,15 @@ def make_checkpoint_manager(cfg: Dict, ckpt_dir) -> CheckpointManager:
         mode=ck.get("mode", "min"),
         async_save=bool(ck.get("async_save", False)),
     )
+
+
+def make_preemption_guard(cfg: Dict) -> Optional[PreemptionGuard]:
+    """Install the SIGTERM checkpoint-and-exit guard unless the config opts
+    out (`training.handle_preemption: false`). Returns the installed guard
+    (caller passes it to fit and uninstalls after) or None."""
+    if not bool(cfg["training"].get("handle_preemption", True)):
+        return None
+    return PreemptionGuard().install()
 
 
 def make_wandb_logger(cfg: Dict) -> Optional[WandbLogger]:

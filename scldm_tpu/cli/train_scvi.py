@@ -18,7 +18,11 @@ from scldm_tpu.config.build import (
 from scldm_tpu.parallel.distributed import maybe_initialize_distributed
 from scldm_tpu.config.loader import load_config, merge_overrides, resolve
 from scldm_tpu.parallel.mesh import make_mesh
-from scldm_tpu.cli._common import make_checkpoint_manager, make_wandb_logger
+from scldm_tpu.cli._common import (
+    make_checkpoint_manager,
+    make_preemption_guard,
+    make_wandb_logger,
+)
 from scldm_tpu.training.loop import CSVLogger, fit
 from scldm_tpu.utils.logger import logger
 
@@ -61,6 +65,7 @@ def main(argv=None) -> int:
     mgr.save_config(cfg)
     cfg["model"]["optimizer"]["lr"] = base_lr * n_hosts
     wandb_logger = make_wandb_logger(cfg)
+    preemption = make_preemption_guard(cfg)
 
     state = fit(
         task,
@@ -79,7 +84,10 @@ def main(argv=None) -> int:
         profile_dir=cfg["training"].get("profile_dir") or None,
         profile_steps=int(cfg["training"].get("profile_steps", 3)),
         wandb_logger=wandb_logger,
+        preemption=preemption,
     )
+    if preemption is not None:
+        preemption.uninstall()
     mgr.close()  # drain in-flight (async) checkpoint writes before exit
     if wandb_logger is not None:
         wandb_logger.finish()

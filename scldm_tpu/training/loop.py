@@ -108,8 +108,13 @@ def fit(
     wandb_logger=None,  # utils.wandb_logger.WandbLogger (rank-0 no-op safe)
     profile_dir: Optional[str] = None,  # capture a post-compile step trace here
     profile_steps: int = 3,
+    preemption=None,  # training.preemption.PreemptionGuard (installed by caller)
 ):
-    """Run training until max_steps or epochs exhaust. Returns final state."""
+    """Run training until max_steps or epochs exhaust — or a preemption
+    signal arrives (the guard's flag is polled at dispatch boundaries; on
+    stop the loop checkpoints through the normal collective-safe path and
+    returns, so auto-resume continues from the preempted step). Returns
+    final state."""
     start_step = int(state.step)
     if ckpt_manager is not None:
         state, resumed = ckpt_manager.maybe_restore(state)
@@ -131,13 +136,17 @@ def fit(
 
     stackers = _StackBuffers()
     profiler = StepProfiler(profile_dir, profile_steps)
+    preempted = False
 
     for epoch in range(start_epoch, epochs):
-        if step >= max_steps:
+        if step >= max_steps or preempted:
             break
         pending = []
         for batch in datamodule.train_batches(epoch):
             if step >= max_steps:
+                break
+            if preemption is not None and preemption.stop_requested_global():
+                preempted = True
                 break
             if steps_per_dispatch > 1 and hasattr(task, "train_steps"):
                 # amortize dispatch latency: K optimizer steps per compiled call.
@@ -208,6 +217,12 @@ def fit(
             profiler.tick(metrics)
             step += 1
             cells_seen += len(batch["library_size"])
+
+        if preempted:
+            logger.info(
+                f"preemption signal: checkpointing at step {step} and exiting"
+            )
+            break
 
         # -- validation (raw + EMA where the task supports it) -----------------
         if (epoch + 1) % val_every_epochs == 0 and datamodule.n_val_batches > 0:

@@ -1,0 +1,144 @@
+"""Preemption (SIGTERM) handling: the guard flips on signal, fit
+checkpoints-and-exits at the next dispatch boundary, and auto-resume
+continues from the preempted step. The reference has no analog — its
+Lightning run dies mid-epoch on spot-node preemption."""
+
+import os
+import signal
+
+import jax
+import numpy as np
+import pytest
+
+from scldm_tpu.nn.vae import build_transformer_vae
+from scldm_tpu.training.checkpoint import CheckpointManager
+from scldm_tpu.training.loop import fit
+from scldm_tpu.training.preemption import PreemptionGuard
+from scldm_tpu.training.vae_task import VAETask
+
+N_GENES = 24
+B = 8
+
+
+def make_batch(seed):
+    rng = np.random.default_rng(seed)
+    counts = rng.poisson(2.0, (B, N_GENES)).astype(np.float32)
+    genes = np.tile(np.arange(1, N_GENES + 1)[None], (B, 1))
+    return {
+        "counts": counts,
+        "genes": genes,
+        "library_size": counts.sum(1, keepdims=True),
+        "counts_subset": counts[:, :12],
+        "genes_subset": genes[:, :12],
+    }
+
+
+class StubDataModule:
+    """10 deterministic batches per epoch; optionally trips the guard after
+    `trip_after` batches of epoch 0 (simulating SIGTERM arriving mid-epoch)."""
+
+    steps_per_epoch = 10
+    n_val_batches = 0
+
+    def __init__(self, guard=None, trip_after=None):
+        self._guard = guard
+        self._trip_after = trip_after
+
+    def train_batches(self, epoch):
+        for i in range(self.steps_per_epoch):
+            if (
+                self._guard is not None
+                and epoch == 0
+                and i == self._trip_after
+            ):
+                os.kill(os.getpid(), signal.SIGTERM)  # the real delivery path
+            yield make_batch(epoch * 1000 + i)
+
+    def val_batches(self):
+        return iter(())
+
+
+@pytest.fixture(scope="module")
+def tiny_task():
+    vae = build_transformer_vae(
+        n_genes=N_GENES, n_embed=16, n_embed_latent=8, n_layer=1,
+        n_inducing_points=4, n_head=2, n_head_cross=2,
+    )
+    return VAETask(vae, num_training_steps=100, mesh=None)
+
+
+class TestGuard:
+    def test_sigterm_sets_flag(self):
+        with PreemptionGuard() as g:
+            assert not g.stop_requested
+            os.kill(os.getpid(), signal.SIGTERM)
+            assert g.stop_requested
+            assert g.stop_requested_global()
+
+    def test_uninstall_restores_previous_handler(self):
+        prev = signal.getsignal(signal.SIGTERM)
+        g = PreemptionGuard().install()
+        assert signal.getsignal(signal.SIGTERM) == g._on_signal
+        g.uninstall()
+        assert signal.getsignal(signal.SIGTERM) == prev
+
+    def test_install_idempotent(self):
+        g = PreemptionGuard().install()
+        try:
+            h = signal.getsignal(signal.SIGTERM)
+            g.install()
+            assert signal.getsignal(signal.SIGTERM) == h
+        finally:
+            g.uninstall()
+
+    def test_programmatic_request(self):
+        g = PreemptionGuard()  # never installed — still usable as a flag
+        g.request_stop()
+        assert g.stop_requested_global()
+
+
+class TestFitPreemption:
+    def test_checkpoint_and_exit_then_resume(self, tiny_task, tmp_path):
+        """SIGTERM after 3 batches -> fit saves at step 3 and returns; a
+        relaunch auto-resumes from 3 and runs to max_steps."""
+        with PreemptionGuard() as guard:
+            dm = StubDataModule(guard=guard, trip_after=3)
+            mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+            state = tiny_task.init_state(jax.random.PRNGKey(0), make_batch(0))
+            state = fit(
+                tiny_task, dm, state, max_steps=15, epochs=5,
+                ckpt_manager=mgr, log_every_steps=100,
+                save_every_epochs=100,  # only the preemption save fires
+                preemption=guard,
+            )
+        assert int(state.step) == 3
+        assert mgr.latest_step() == 3
+        mgr.close()
+
+        # relaunch: fresh state, same ckpt dir -> resumes at 3, finishes
+        mgr2 = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+        fresh = tiny_task.init_state(jax.random.PRNGKey(0), make_batch(0))
+        final = fit(
+            tiny_task, StubDataModule(), fresh, max_steps=15, epochs=5,
+            ckpt_manager=mgr2, log_every_steps=100, save_every_epochs=100,
+        )
+        assert int(final.step) == 15
+
+    def test_no_guard_runs_to_completion(self, tiny_task, tmp_path):
+        state = tiny_task.init_state(jax.random.PRNGKey(0), make_batch(0))
+        final = fit(
+            tiny_task, StubDataModule(), state, max_steps=5, epochs=1,
+            log_every_steps=100,
+        )
+        assert int(final.step) == 5
+
+    def test_preempted_before_first_step(self, tiny_task, tmp_path):
+        """Flag already set at entry: zero steps run, step-0 state returns."""
+        guard = PreemptionGuard()
+        guard.request_stop()
+        state = tiny_task.init_state(jax.random.PRNGKey(0), make_batch(0))
+        final = fit(
+            tiny_task, StubDataModule(), state, max_steps=5, epochs=1,
+            log_every_steps=100, preemption=guard,
+        )
+        assert int(final.step) == 0
