@@ -425,6 +425,7 @@ class DataModule:
         epoch: int,
         shuffle: bool,
         lean: bool = False,
+        skip: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(specs))
         if shuffle:
@@ -437,6 +438,12 @@ class DataModule:
         # steps_per_epoch exact for every host.
         n_even = (len(order) // self.num_hosts) * self.num_hosts
         order = order[:n_even][self.host_index :: self.num_hosts]
+        if skip:
+            # mid-epoch resume fast-forward: drop the first `skip` already-
+            # consumed batches WITHOUT assembling them (index slice only).
+            # Seeding is per-spec, so the surviving batches are bit-identical
+            # to positions [skip:] of the uninterrupted epoch.
+            order = order[skip:]
 
         post = self._make_lean if lean else (lambda b: b)
 
@@ -526,10 +533,18 @@ class DataModule:
             stop.set()
 
     # -- public iterators ------------------------------------------------------
-    def train_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def train_batches(
+        self, epoch: int = 0, skip: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Epoch batch stream; `skip` fast-forwards past the first `skip`
+        per-host batches (mid-epoch checkpoint resume) without loading them."""
         assert self._is_setup, "call setup() first"
         return self._iter_specs(
-            self._train_specs, epoch, shuffle=self.shuffle, lean=not self.dense_transfer
+            self._train_specs,
+            epoch,
+            shuffle=self.shuffle,
+            lean=not self.dense_transfer,
+            skip=skip,
         )
 
     def val_batches(self) -> Iterator[Dict[str, np.ndarray]]:

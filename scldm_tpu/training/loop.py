@@ -126,6 +126,24 @@ def fit(
     start_epoch = 0 if datamodule.steps_per_epoch == 0 else step // max(
         datamodule.steps_per_epoch, 1
     )
+    # mid-epoch resume (e.g. after a preemption save): fast-forward the first
+    # epoch's stream past the already-consumed batches so data order stays
+    # aligned with the step counter (no replays, exact epoch boundaries).
+    resume_skip = (
+        step - start_epoch * datamodule.steps_per_epoch
+        if datamodule.steps_per_epoch > 0
+        else 0
+    )
+    if resume_skip:
+        import inspect
+
+        if "skip" in inspect.signature(datamodule.train_batches).parameters:
+            logger.info(
+                f"mid-epoch resume: skipping {resume_skip} consumed batches "
+                f"of epoch {start_epoch}"
+            )
+        else:  # stub datamodules without fast-forward: replay (old behavior)
+            resume_skip = 0
     t_last = time.perf_counter()
     cells_seen = 0
     last_logged = step
@@ -142,7 +160,13 @@ def fit(
         if step >= max_steps or preempted:
             break
         pending = []
-        for batch in datamodule.train_batches(epoch):
+        epoch_skip = resume_skip if epoch == start_epoch else 0
+        batches = (
+            datamodule.train_batches(epoch, skip=epoch_skip)
+            if epoch_skip
+            else datamodule.train_batches(epoch)
+        )
+        for batch in batches:
             if step >= max_steps:
                 break
             if preemption is not None and preemption.stop_requested_global():

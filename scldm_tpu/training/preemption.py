@@ -27,13 +27,29 @@ from scldm_tpu.utils.logger import logger
 
 
 class PreemptionGuard:
-    """Installable SIGTERM (by default) stop flag for the fit loop."""
+    """Installable SIGTERM (by default) stop flag for the fit loop.
 
-    def __init__(self, signals: Iterable[int] = (signal.SIGTERM,)):
+    `poll_every` sets the multi-host agreement cadence: the cross-process
+    allgather runs once per `poll_every` calls to `stop_requested_global`
+    (i.e. once per N train batches) instead of every batch, bounding the
+    DCN round-trip overhead. The cadence counter advances identically on
+    every host (all hosts poll once per batch in lockstep), so the refresh
+    points — and therefore the stop decision — stay globally agreed. Worst
+    case adds poll_every-1 batches of grace-window latency. Local
+    (single-process) queries are exact and free."""
+
+    def __init__(
+        self,
+        signals: Iterable[int] = (signal.SIGTERM,),
+        poll_every: int = 8,
+    ):
         self._signals = tuple(signals)
         self._event = threading.Event()
         self._prev: dict = {}
         self._installed = False
+        self._poll_every = max(int(poll_every), 1)
+        self._calls = 0
+        self._agreed = False  # cached multi-host decision (latches True)
 
     # -- lifecycle ----------------------------------------------------------
     def install(self) -> "PreemptionGuard":
@@ -77,14 +93,25 @@ class PreemptionGuard:
 
     def stop_requested_global(self) -> bool:
         """True if ANY process was signalled — the decision every host must
-        share before entering a collective checkpoint save."""
+        share before entering a collective checkpoint save. Multi-host, the
+        allgather runs at the poll_every cadence (see class docstring);
+        between refreshes the cached agreed decision is returned, NEVER the
+        bare local flag — one host acting on a local flag its peers have not
+        agreed to would desync the collective save."""
         local = self._event.is_set()
         if jax.process_count() == 1:
             return local
+        if self._agreed:
+            return True
+        refresh = self._calls % self._poll_every == 0
+        self._calls += 1
+        if not refresh:
+            return False
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(np.asarray([local]))
         agreed = bool(np.any(flags))
         if agreed and not local:
             logger.info("peer process preempted; stopping in lockstep")
+        self._agreed = agreed
         return agreed

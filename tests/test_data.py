@@ -333,6 +333,20 @@ class TestDataModule:
         # (with contiguous-block batching the batch contents are stable; only
         #  the order changes across epochs)
 
+    def test_skip_fast_forward_bit_identical(self, tmp_path, rng):
+        """train_batches(epoch, skip=k) == full epoch stream[k:] exactly —
+        the mid-epoch-resume contract (per-spec seeding, index-slice skip)."""
+        _write_dataset(tmp_path, rng, n=96)
+        dm = self._dm(tmp_path)
+        full = list(dm.train_batches(2))
+        tail = list(dm.train_batches(2, skip=3))
+        assert len(tail) == len(full) - 3
+        for a, b in zip(full[3:], tail):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+        # skip everything -> empty stream; skip=0 -> identity
+        assert list(dm.train_batches(2, skip=len(full))) == []
+
     def test_host_partitioning_disjoint_and_complete(self, tmp_path, rng):
         _write_dataset(tmp_path, rng, n=128)
         sums = []

@@ -142,3 +142,125 @@ class TestFitPreemption:
             log_every_steps=100, preemption=guard,
         )
         assert int(final.step) == 0
+
+
+class SkipAwareDataModule(StubDataModule):
+    """Records each (epoch, skip) request; yields steps_per_epoch - skip
+    batches, tagging each with its within-epoch index via the seed."""
+
+    def __init__(self, guard=None, trip_after=None):
+        super().__init__(guard=guard, trip_after=trip_after)
+        self.requests = []
+
+    def train_batches(self, epoch, skip=0):
+        self.requests.append((epoch, skip))
+        for i in range(skip, self.steps_per_epoch):
+            if (
+                self._guard is not None
+                and epoch == 0
+                and i == self._trip_after
+            ):
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield make_batch(epoch * 1000 + i)
+
+
+class TestMidEpochResume:
+    def test_resume_fast_forwards_consumed_batches(self, tiny_task, tmp_path):
+        """Preempt at step 3 of a 10-step epoch; the relaunch must request
+        skip=3 for epoch 0 (no replayed batches) and land the epoch boundary
+        exactly at step 10."""
+        with PreemptionGuard() as guard:
+            dm = SkipAwareDataModule(guard=guard, trip_after=3)
+            mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+            state = tiny_task.init_state(jax.random.PRNGKey(0), make_batch(0))
+            state = fit(
+                tiny_task, dm, state, max_steps=25, epochs=5,
+                ckpt_manager=mgr, log_every_steps=100,
+                save_every_epochs=100, preemption=guard,
+            )
+        assert int(state.step) == 3
+        mgr.close()
+
+        mgr2 = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+        dm2 = SkipAwareDataModule()
+        fresh = tiny_task.init_state(jax.random.PRNGKey(0), make_batch(0))
+        final = fit(
+            tiny_task, dm2, fresh, max_steps=25, epochs=5,
+            ckpt_manager=mgr2, log_every_steps=100, save_every_epochs=100,
+        )
+        mgr2.close()
+        assert int(final.step) == 25
+        # epoch 0 resumed with skip=3 (7 remaining batches -> step 10 at its
+        # end), later epochs from batch 0
+        assert dm2.requests == [(0, 3), (1, 0), (2, 0)]
+
+    def test_stub_without_skip_still_resumes(self, tiny_task, tmp_path):
+        """Datamodules without the skip parameter fall back to replay."""
+        mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+        state = tiny_task.init_state(jax.random.PRNGKey(0), make_batch(0))
+        state = fit(
+            tiny_task, StubDataModule(), state, max_steps=3, epochs=1,
+            ckpt_manager=mgr, log_every_steps=100, save_every_epochs=100,
+        )
+        mgr.close()
+        mgr2 = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+        fresh = tiny_task.init_state(jax.random.PRNGKey(0), make_batch(0))
+        final = fit(
+            tiny_task, StubDataModule(), fresh, max_steps=8, epochs=2,
+            ckpt_manager=mgr2, log_every_steps=100, save_every_epochs=100,
+        )
+        mgr2.close()
+        assert int(final.step) == 8
+
+
+class TestPollCadence:
+    def test_allgather_runs_at_cadence_and_latches(self, monkeypatch):
+        """Multi-process: the allgather fires once per poll_every calls;
+        between refreshes the cached (global) decision is returned, never
+        the bare local flag; True latches."""
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        import scldm_tpu.training.preemption as P
+
+        calls = {"n": 0}
+        peer_flag = {"set": False}
+
+        def fake_allgather(x):
+            calls["n"] += 1
+            return np.asarray([[bool(x[0])], [peer_flag["set"]]])
+
+        monkeypatch.setattr(P.jax, "process_count", lambda: 2)
+        monkeypatch.setattr(
+            multihost_utils, "process_allgather", fake_allgather
+        )
+
+        g = PreemptionGuard(poll_every=4)
+        for _ in range(10):
+            assert not g.stop_requested_global()
+        assert calls["n"] == 3  # counters 0, 4, 8 refreshed
+
+        # local signal between refreshes: stays False until the next cadence
+        # point (peers have not agreed yet), then latches True
+        g.request_stop()
+        results = [g.stop_requested_global() for _ in range(5)]
+        assert results[:2] == [False, False]  # counters 10, 11: cached
+        assert results[2:] == [True, True, True]  # counter 12 refreshed; latched
+        assert calls["n"] == 4
+
+    def test_peer_preemption_propagates(self, monkeypatch):
+        """A peer's flag (not ours) stops this host at the next refresh."""
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        import scldm_tpu.training.preemption as P
+
+        peer = {"set": True}
+        monkeypatch.setattr(P.jax, "process_count", lambda: 2)
+        monkeypatch.setattr(
+            multihost_utils,
+            "process_allgather",
+            lambda x: np.asarray([[bool(x[0])], [peer["set"]]]),
+        )
+        g = PreemptionGuard(poll_every=3)
+        assert g.stop_requested_global()  # call 0 is a refresh point
