@@ -86,6 +86,11 @@ def main(argv=None) -> int:
         # reference models.VAE.inference parity: reconstruct + latents -> h5ad
         return _vae_inference(cfg, vae, vae_params, datamodule, vocab, mesh=mesh)
     dit = build_dit(cfg)
+    if mesh is not None and n_model > 1:
+        # the n_model knob means gene-SP decode here, never Megatron TP:
+        # params replicate over "model" and make_sample_fn shards the decode
+        # activations' gene axis over it
+        cfg["training"]["gene_sp"] = True
     task = build_ldm_task(cfg, vae, vae_params, dit, max_steps=1, mesh=mesh)
     mgr = CheckpointManager(cfg["checkpoint_dir"])
     state = mgr.restore(task.init_state(jax.random.PRNGKey(0), example))

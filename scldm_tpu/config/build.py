@@ -237,6 +237,7 @@ def build_ldm_task(
         mesh=mesh,
         fsdp=tr.get("fsdp", False),
         pipeline_microbatches=tr.get("pipeline_microbatches"),
+        gene_sp=bool(tr.get("gene_sp", False)),
     )
 
 

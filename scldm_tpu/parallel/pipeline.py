@@ -17,8 +17,9 @@ Design notes (the XLA-semantics version of GPipe):
   scan) to the microbatch it holds and ppermutes the result to the next
   stage; stage 0 ingests fresh microbatches, the last stage records results.
   Bubble fraction = (S-1)/(M+S-1): pick n_micro >= 4 * n_stages.
-- The conditioning row `c` travels WITH its microbatch through the ppermute
-  (adaLN needs the matching (b, E) rows at every stage).
+- The conditioning rows `c` are replicated over "model", so each stage reads
+  its current microbatch's (b, E) rows locally (stage s holds microbatch
+  t - s at tick t) — no second ppermute stream.
 - Devices compute garbage on zero inputs during fill/drain ticks; the
   validity masks keep garbage out of the output buffer. This wastes the
   bubble's FLOPs but keeps control flow static — the XLA-friendly trade.
@@ -97,13 +98,19 @@ def pipeline_blocks(
             return h
 
         def tick(carry, t):
-            buf_x, buf_c, outs = carry
+            buf_x, outs = carry
             # stage 0 ingests microbatch t while t < M (zeros afterwards —
             # drain ticks compute garbage that the masks below discard)
             ingest = (stage == 0) & (t < M)
             idx = jnp.clip(t, 0, M - 1)
             inx = jnp.where(ingest, jax.lax.dynamic_index_in_dim(micro_x, idx, keepdims=False), buf_x)
-            inc = jnp.where(ingest, jax.lax.dynamic_index_in_dim(micro_c, idx, keepdims=False), buf_c)
+            # conditioning rows are replicated over "model" (micro_c is the
+            # full local batch on every device), so stage s reads microbatch
+            # t - s locally instead of streaming a second ppermute; invalid
+            # ticks read a clipped row whose output the masks discard (and
+            # whose cotangent the output `where` zeroes)
+            cidx = jnp.clip(t - stage, 0, M - 1)
+            inc = jax.lax.dynamic_index_in_dim(micro_c, cidx, keepdims=False)
             y = stage_fn(inx, inc)
             # the last stage finished microbatch t - (S-1) this tick
             oidx = t - (S - 1)
@@ -113,19 +120,16 @@ def pipeline_blocks(
             outs = jax.lax.dynamic_update_index_in_dim(
                 outs, jnp.where(valid, y, cur), slot, 0
             )
-            # hand this tick's result (and its conditioning) to the next stage;
-            # the wraparound edge last->0 is dead: stage 0 only reads buf_*
-            # once ingest goes false, by which point every real microbatch
-            # has already entered the pipe
+            # hand this tick's result to the next stage; the wraparound edge
+            # last->0 is dead: stage 0 only reads buf_x once ingest goes
+            # false, by which point every real microbatch has entered the pipe
             buf_x = jax.lax.ppermute(y, "model", perm)
-            buf_c = jax.lax.ppermute(inc, "model", perm)
-            return (buf_x, buf_c, outs), None
+            return (buf_x, outs), None
 
         zeros_x = jnp.zeros_like(micro_x[0])
-        zeros_c = jnp.zeros_like(micro_c[0])
         outs0 = jnp.zeros_like(micro_x)
-        (_, _, outs), _ = jax.lax.scan(
-            tick, (zeros_x, zeros_c, outs0), jnp.arange(M + S - 1)
+        (_, outs), _ = jax.lax.scan(
+            tick, (zeros_x, outs0), jnp.arange(M + S - 1)
         )
         # only the last stage holds real outputs; the psum (zeros elsewhere)
         # re-replicates them over "model" so downstream GSPMD sees the same

@@ -72,11 +72,16 @@ class LDMTask:
         fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
         fused_encode: Optional[bool] = None,  # None = auto (TPU, frozen VAE)
         pipeline_microbatches: Optional[int] = None,  # GPipe DiT trunk over "model"
+        gene_sp: bool = False,  # decode gene (sequence) parallelism over "model"
     ):
         self.calculate_grad_norms = calculate_grad_norms
         self.fsdp = fsdp
         if fused_training is None:
             fused_training = jax.default_backend() == "tpu" and dit.dropout == 0.0
+        # pallas_call is opaque to GSPMD: the fused trunk cannot be
+        # auto-partitioned over a real multi-device mesh
+        if mesh is not None and mesh.devices.size > 1:
+            fused_training = False
         self.fused_training = fused_training and not train_vae
         # frozen-VAE tokenization is forward-only, so the window-pooling
         # kernel's recompute-backward weakness doesn't apply — but measured
@@ -123,6 +128,21 @@ class LDMTask:
                     f"{mesh.shape['model']} pipeline stages"
                 )
             self.fused_training = False  # the trunk runs via the pipeline
+        # gene/sequence parallelism for the generation decode (and the VAE
+        # encode/decode when finetuned): the mesh "model" axis carries the
+        # decode ACTIVATION gene axis, so params must REPLICATE over "model"
+        # (Megatron columns and gene shards on the same axis would force
+        # GSPMD to re-gather operands inside every cross-block matmul —
+        # sharding_rules.shard_params docstring). Mutually exclusive with
+        # the pipeline, whose "model" axis carries trunk stages.
+        self.gene_sp = (
+            bool(gene_sp) and mesh is not None and mesh.shape.get("model", 1) > 1
+        )
+        if self.gene_sp and self.pipeline:
+            raise ValueError(
+                "gene_sp and pipeline_microbatches both claim the mesh "
+                "'model' axis — enable at most one"
+            )
         self.ema_cfg = dict(
             beta=ema_decay,
             update_every=ema_update_every,
@@ -172,13 +192,17 @@ class LDMTask:
         if self.mesh is not None:
             from scldm_tpu.parallel.sharding_rules import shard_params
 
-            # under the pipeline the "model" axis carries trunk STAGES: the
-            # raw tree replicates there and the in-jit stack + shard_map
-            # in_specs slice each device's own blocks without communication
+            # under the pipeline the "model" axis carries trunk STAGES, and
+            # under gene_sp it carries decode activation gene shards: in both
+            # cases the raw tree replicates there (megatron=False); otherwise
+            # the axis carries Megatron parameter columns
+            megatron = not (self.pipeline or self.gene_sp)
             params = shard_params(
-                params, self.mesh, fsdp=self.fsdp, megatron=not self.pipeline
+                params, self.mesh, fsdp=self.fsdp, megatron=megatron
             )
-            self.vae_params = shard_params(self.vae_params, self.mesh, fsdp=self.fsdp)
+            self.vae_params = shard_params(
+                self.vae_params, self.mesh, fsdp=self.fsdp, megatron=megatron
+            )
         ema_tree = params["dit"]["params"] if self.train_vae else params["params"]
         state = create_train_state(rng, params, self.tx, ema=ema_init(ema_tree))
         if self.mesh is not None:
@@ -385,15 +409,22 @@ class LDMTask:
         latent = self.vae.encoder.latent_embedding
         seq_len = self.dit.seq_len
 
-        # mesh-first generation: batch rides the "data" axis; with a model
-        # axis >1 the decode is additionally sequence-parallel over the GENE
-        # axis — the (2B, G, E) cross-attention activations (the memory gate
-        # for census-scale decode, ROADMAP census budget) shrink by n_model
-        # per chip, with GSPMD propagating the constraint back through the
-        # NB head and the gene-query cross block. The reference has no analog
+        # mesh-first generation: batch rides the "data" axis; with gene_sp
+        # the decode is additionally sequence-parallel over the GENE axis —
+        # the (2B, G, E) cross-attention activations (the memory gate for
+        # census-scale decode, ROADMAP census budget) shrink by n_model per
+        # chip, with GSPMD propagating the constraint back through the NB
+        # head and the gene-query cross block. The reference has no analog
         # (single-device inference, experiments/scripts/inference.py:69).
+        # Megatron-sharded tasks must NOT constrain the gene axis: their
+        # "model" axis already carries parameter columns, and both uses at
+        # once re-gather operands inside every decode matmul.
         mesh = self.mesh
-        tp = mesh is not None and mesh.shape.get("model", 1) > 1
+        tp = (
+            mesh is not None
+            and mesh.shape.get("model", 1) > 1
+            and (self.gene_sp or bool(self.pipeline))
+        )
 
         def _constrain_genes(tree):
             if not tp:
@@ -424,6 +455,10 @@ class LDMTask:
                 fused_blocks
                 and jax.default_backend() == "tpu"
                 and self.dit.dropout == 0.0
+                # pallas_call is an opaque custom call to GSPMD — it cannot
+                # be auto-partitioned over a real multi-device mesh, so the
+                # denoise loop falls back to the module path there
+                and (mesh is None or mesh.devices.size == 1)
             )
             if mesh is not None and not use_fused:
                 # pin the denoise loop's batch to "data" (the fused-Pallas DiT

@@ -232,8 +232,13 @@ def fit(
                 if wandb_logger:
                     wandb_logger.log(metrics, step=step)
 
-        # flush a partial dispatch group at epoch end as single steps
-        for batch in pending:
+        # flush a partial dispatch group at epoch end as single steps — but
+        # NOT on preemption: `step` never counted the pending batches, so
+        # mid-epoch resume replays them bit-identically, and flushing here
+        # would burn the SIGTERM grace window on avoidable train steps (worst
+        # case a fresh XLA compile of the never-yet-dispatched single-step
+        # program) instead of reaching the checkpoint write.
+        for batch in pending if not preempted else ():
             if step >= max_steps:
                 break
             dev_batch = shard_batch(batch, mesh) if mesh is not None else batch

@@ -53,11 +53,25 @@ class PreemptionGuard:
 
     # -- lifecycle ----------------------------------------------------------
     def install(self) -> "PreemptionGuard":
-        """Register handlers (main thread only — a signal module constraint)."""
+        """Register handlers (main thread only — a signal module constraint).
+
+        Off the main thread, ``signal.signal`` raises ValueError; the guard
+        degrades to programmatic-flag-only mode (``request_stop()`` still
+        works) instead of crashing callers that drive the train CLIs from a
+        worker thread (notebook runners, orchestration harnesses)."""
         if self._installed:
             return self
-        for s in self._signals:
-            self._prev[s] = signal.signal(s, self._on_signal)
+        try:
+            for s in self._signals:
+                self._prev[s] = signal.signal(s, self._on_signal)
+        except ValueError:
+            # off the main thread every signal.signal call fails, so nothing
+            # was registered and there is nothing to roll back
+            self._prev.clear()
+            logger.warning(
+                "PreemptionGuard: not on the main thread — signal handlers "
+                "unavailable; preemption stop works only via request_stop()"
+            )
         self._installed = True
         return self
 

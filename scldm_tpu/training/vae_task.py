@@ -446,6 +446,12 @@ class VAETask:
         self.gaussian_head = isinstance(vae.decoder_head, GaussianTransformerHead)
         if fused_decoder is None:
             fused_decoder = jax.default_backend() == "tpu" and _fused_path_ok(vae)
+        # pallas_call is opaque to GSPMD: the fused kernels cannot be
+        # auto-partitioned over a real multi-device mesh
+        if mesh is not None and mesh.devices.size > 1:
+            fused_decoder = False
+            fused_trunk = False
+            fused_pool = False
         self.fused_decoder = fused_decoder and _fused_path_ok(vae)
         # default OFF: measured 41.6 vs 40.5 ms/step at dentate shapes even
         # with the single-launch chained backward — XLA's saved-activation
@@ -468,12 +474,18 @@ class VAETask:
         # carries activations, not param columns); params replicate over
         # "model" instead. Requires the shared-embedding decoder (the
         # default) so the queries can be constrained before the cross block.
-        self.gene_sp = (
-            bool(gene_sp)
-            and mesh is not None
-            and mesh.shape.get("model", 1) > 1
-            and vae.decoder.shared_embedding
-        )
+        if gene_sp and mesh is not None and mesh.shape.get("model", 1) > 1:
+            if not vae.decoder.shared_embedding:
+                # refuse rather than silently falling back to Megatron TP —
+                # the opposite parameter layout the flag opted out of
+                raise ValueError(
+                    "gene_sp requires the shared-embedding decoder (the "
+                    "default): unshared queries cannot be sharding-"
+                    "constrained on the gene axis before the cross block"
+                )
+            self.gene_sp = True
+        else:
+            self.gene_sp = False
         if self.gene_sp:
             # the fused Pallas paths partition manually and are only eligible
             # at E<=128, where activations are not the gate — module path only

@@ -264,3 +264,73 @@ class TestPollCadence:
         )
         g = PreemptionGuard(poll_every=3)
         assert g.stop_requested_global()  # call 0 is a refresh point
+
+
+class TestPreemptionDropsPending:
+    def test_pending_dispatch_group_not_flushed(self, tiny_task, tmp_path):
+        """SIGTERM with a partial K-step dispatch group pending: the pending
+        batches are DROPPED (step never counted them; resume replays them
+        bit-identically) rather than flushed as single steps — flushing would
+        burn the grace window on avoidable train steps, worst case a fresh
+        XLA compile of the never-dispatched single-step program."""
+        with PreemptionGuard() as guard:
+            # batches 0-3 dispatch as one group (step=4); batch 4 goes
+            # pending; SIGTERM fires before batch 5 is processed
+            dm = StubDataModule(guard=guard, trip_after=5)
+            mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+            state = tiny_task.init_state(jax.random.PRNGKey(0), make_batch(0))
+            state = fit(
+                tiny_task, dm, state, max_steps=20, epochs=2,
+                ckpt_manager=mgr, log_every_steps=100,
+                save_every_epochs=100, steps_per_dispatch=4,
+                preemption=guard,
+            )
+        assert int(state.step) == 4, "pending batch must not be flushed"
+        assert mgr.latest_step() == 4
+        mgr.close()
+
+        # resume completes, replaying the dropped batch
+        mgr2 = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+        fresh = tiny_task.init_state(jax.random.PRNGKey(0), make_batch(0))
+        final = fit(
+            tiny_task, StubDataModule(), fresh, max_steps=20, epochs=2,
+            ckpt_manager=mgr2, log_every_steps=100, save_every_epochs=100,
+            steps_per_dispatch=4,
+        )
+        assert int(final.step) == 20
+        mgr2.close()
+
+    def test_epoch_end_flush_still_happens_unpreempted(self, tiny_task):
+        """Without preemption the partial group still flushes at epoch end
+        (10 batches, K=4 -> 2 dispatches + 2 single-step flushes)."""
+        state = tiny_task.init_state(jax.random.PRNGKey(0), make_batch(0))
+        final = fit(
+            tiny_task, StubDataModule(), state, max_steps=10, epochs=1,
+            log_every_steps=100, steps_per_dispatch=4,
+        )
+        assert int(final.step) == 10
+
+
+class TestOffMainThreadInstall:
+    def test_install_degrades_without_signal_handlers(self):
+        """install() from a worker thread (notebook runners, orchestration
+        harnesses) must not raise — it degrades to programmatic-flag mode."""
+        import threading
+
+        result = {}
+
+        def worker():
+            try:
+                g = PreemptionGuard().install()
+                g.request_stop()
+                result["stop"] = g.stop_requested()
+                g.uninstall()
+                result["ok"] = True
+            except Exception as e:  # pragma: no cover
+                result["error"] = repr(e)
+
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        assert result.get("ok"), result.get("error")
+        assert result["stop"] is True

@@ -385,6 +385,19 @@ class TestVAETask:
         state, m = task.train_step(state, shard_batch(batch, mesh))
         assert np.isfinite(float(m["train_loss"]))
 
+    def test_gene_sp_requires_shared_embedding(self):
+        """gene_sp on an unshared-query decoder must refuse loudly — silently
+        falling back to Megatron TP would give the opposite parameter layout
+        the flag opted out of."""
+        vae = build_transformer_vae(
+            n_genes=N_GENES, n_embed=16, n_embed_latent=8, n_layer=1,
+            n_inducing_points=4, n_head=2, n_head_cross=2,
+            shared_embedding=False,
+        )
+        mesh = make_mesh(n_data=4, n_model=2)
+        with pytest.raises(ValueError, match="shared-embedding"):
+            VAETask(vae, num_training_steps=100, mesh=mesh, gene_sp=True)
+
     def test_fsdp_composes_with_tp(self):
         """FSDP over "data" composes with Megatron TP over "model" on a
         (4, 2) mesh — each parameter carries at most one of each axis."""
@@ -522,7 +535,7 @@ class TestLDMTask:
         task_tp = LDMTask(
             task.vae, task.vae_params, task.dit, create_transport(),
             num_training_steps=100, ema_update_after_step=0,
-            ema_update_every=1, mesh=mesh,
+            ema_update_every=1, mesh=mesh, gene_sp=True,
         )
         fn_tp = task_tp.make_sample_fn(sfs, **kwargs)
         counts2, z2 = fn_tp(state, jax.random.PRNGKey(7), batch["genes"], cond)
@@ -537,6 +550,50 @@ class TestLDMTask:
         # a vanishing fraction of threshold flips from fp re-association
         mismatch = (np.asarray(counts1) != np.asarray(counts2)).mean()
         assert mismatch < 1e-3, f"{mismatch:.4f} of counts differ"
+
+    def test_gene_sp_replicates_params_megatron_shards_them(self, ldm_setup):
+        """gene_sp=True must REPLICATE params over "model" (the axis carries
+        decode activation gene shards); without it the axis carries Megatron
+        columns — the two layouts must never mix on one task."""
+        task, init, batch = ldm_setup
+        mesh = make_mesh(n_data=2, n_model=2)
+
+        def model_specs(t):
+            s = t.init_state(jax.random.PRNGKey(3), batch)
+            return [
+                str(getattr(leaf.sharding, "spec", ""))
+                for leaf in jax.tree_util.tree_leaves(s.params)
+            ]
+
+        sp = LDMTask(
+            task.vae, task.vae_params, task.dit, create_transport(),
+            num_training_steps=100, mesh=mesh, gene_sp=True,
+        )
+        assert not any("model" in s for s in model_specs(sp))
+        # the frozen VAE tree replicates too (it runs the gene-sharded decode)
+        vae_specs = [
+            str(getattr(leaf.sharding, "spec", ""))
+            for leaf in jax.tree_util.tree_leaves(sp.vae_params)
+            if hasattr(leaf, "sharding")
+        ]
+        assert not any("model" in s for s in vae_specs)
+
+        tp = LDMTask(
+            task.vae, task.vae_params, task.dit, create_transport(),
+            num_training_steps=100, mesh=mesh,
+        )
+        assert any("model" in s for s in model_specs(tp))
+
+    def test_gene_sp_excludes_pipeline(self, ldm_setup):
+        """gene_sp and the GPipe pipeline both claim the "model" axis."""
+        task, init, batch = ldm_setup
+        mesh = make_mesh(n_data=2, n_model=2)
+        with pytest.raises(ValueError, match="model"):
+            LDMTask(
+                task.vae, task.vae_params, task.dit, create_transport(),
+                num_training_steps=100, mesh=mesh, gene_sp=True,
+                pipeline_microbatches=2,
+            )
 
 
 # ---------------------------------------------------------------------------
