@@ -26,10 +26,55 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 from pathlib import Path
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def _device_reachable(timeout_s: int = 180) -> tuple[bool, str]:
+    """Probe the accelerator in a subprocess BEFORE this process imports jax.
+
+    On the tunneled dev platform a dead device relay hangs interpreter
+    startup itself (a sitecustomize on PYTHONPATH blocks registering the
+    remote plugin), so `import jax` here would never return and the caller
+    would record nothing. A subprocess under a timeout is the only safe
+    detector; on failure main() prints an error JSON line instead of hanging.
+    """
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "print('PROBE_OK', jax.devices()[0].platform, float((x @ x).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, cwd=Path(__file__).parent,
+        )
+        if r.returncode == 0 and "PROBE_OK" in r.stdout:
+            return True, r.stdout.strip()
+        return False, (r.stderr.strip() or r.stdout.strip())[-300:]
+    except subprocess.TimeoutExpired:
+        return False, f"device probe timed out after {timeout_s}s (relay unreachable?)"
+
+
+if __name__ == "__main__":
+    _probe_ok, _probe_detail = _device_reachable()
+    if not _probe_ok:
+        print(
+            json.dumps(
+                {
+                    "metric": "vae_train_cells_per_sec",
+                    "value": None,
+                    "unit": "cells/s",
+                    "vs_baseline": None,
+                    "error": f"accelerator unreachable: {_probe_detail}",
+                }
+            )
+        )
+        raise SystemExit(1)
 
 import jax
 import jax.numpy as jnp
