@@ -36,6 +36,9 @@ ITEMS = {
     # opt-in (--all): slower full reruns
     "ldm": [sys.executable, "-m", "benchmarks.bench_ldm"],
     "quality": [sys.executable, "-m", "benchmarks.quality_e2e"],
+    # batch-size scaling study (VERDICT r2 item 7) — harness shipped round 3
+    # but the relay died before a TPU run could populate the table
+    "batch_scaling": [sys.executable, "-m", "benchmarks.bench_batch_scaling"],
 }
 CORE = ["bench", "flash_compiled", "census"]
 
