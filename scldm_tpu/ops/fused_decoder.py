@@ -210,6 +210,16 @@ def pack_weights(
 from scldm_tpu.ops.tiling import pad_axis as _pad_axis  # shared tiling arithmetic
 
 
+# Largest batch the backward kernel compiles at with the swept (1024, 8)
+# tiles: Mosaic's scoped-VMEM stack grows with the full-resident dk/dv
+# accumulator blocks, and B=512 at dentate shapes exceeds the limit
+# (90.6 MB asked vs 72.3 MB, measured on v5e 2026-08-18); B=256 compiles and
+# runs. Dispatchers must route B > MAX_FUSED_BATCH to the module path —
+# at dentate shapes larger batches are slower per cell anyway
+# (benchmarks/bench_batch_scaling.py: B=256 is 0.88x B=128 throughput).
+MAX_FUSED_BATCH = 256
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def fused_decoder_tail(
     qp: jax.Array,  # (G, E) normalized+projected queries

@@ -663,12 +663,24 @@ class VAETask:
         )
         return out, h_z
 
+    def _use_fused(self, batch: Dict) -> bool:
+        """Static (trace-time) gate for the fused decoder-tail path: eligible
+        architecture, lean wire-format batch (canonical 1-D genes), and a
+        batch small enough for the backward kernel's scoped-VMEM stack
+        (ops/fused_decoder.MAX_FUSED_BATCH, measured compile ceiling)."""
+        from scldm_tpu.ops.fused_decoder import MAX_FUSED_BATCH
+
+        return (
+            self.fused_decoder
+            and COUNTS not in batch
+            and C_SUB in batch
+            and batch[C_SUB].shape[0] <= MAX_FUSED_BATCH
+        )
+
     # -- steps -----------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         # fused path: canonical 1-D genes (lean batch) + eligible architecture
-        use_fused = (
-            self.fused_decoder and COUNTS not in batch and C_SUB in batch
-        )
+        use_fused = self._use_fused(batch)
         batch = self._materialize(batch)
         if self.gene_sp:
             # the NLL target shards like mu, so the loss computes shard-local

@@ -154,3 +154,25 @@ def test_gaussian_head_not_eligible():
     assert not _fused_path_ok(vae)
     task = VAETask(vae, num_training_steps=10, fused_decoder=True)
     assert not task.fused_decoder  # forced flag still gated by eligibility
+
+
+def test_large_batch_falls_back_to_module_path():
+    """B > MAX_FUSED_BATCH routes to the module path: the backward kernel's
+    scoped-VMEM stack exceeds the compile limit at B=512 on v5e (measured,
+    see ops/fused_decoder.MAX_FUSED_BATCH)."""
+    from scldm_tpu.ops.fused_decoder import MAX_FUSED_BATCH
+
+    vae = build_transformer_vae(n_genes=40)
+    task = VAETask(vae, num_training_steps=10, fused_decoder=True)
+    assert task.fused_decoder
+    small = {
+        "genes_subset": jnp.zeros((MAX_FUSED_BATCH, 4), jnp.int32),
+        "counts_subset": jnp.zeros((MAX_FUSED_BATCH, 4), jnp.float32),
+    }
+    big = {
+        "genes_subset": jnp.zeros((MAX_FUSED_BATCH + 1, 4), jnp.int32),
+        "counts_subset": jnp.zeros((MAX_FUSED_BATCH + 1, 4), jnp.float32),
+    }
+    assert task._use_fused(small)
+    assert not task._use_fused(big)
+    assert not task._use_fused({**small, "counts": jnp.zeros((8, 40))})
