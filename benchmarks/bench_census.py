@@ -62,6 +62,12 @@ def main():
     p.add_argument("--fused-pool", action="store_true",
                    help="route the encoder MCAB pooling through the flash "
                         "window kernel (ops/fused_encoder.fused_window_pool)")
+    p.add_argument("--algebraic-tail", action="store_true",
+                   help="XLA-reassociated decoder cross block + NB head "
+                        "(training.vae_task.algebraic_nb_apply): the SwiGLU "
+                        "down projection contracts with the head mu vector, "
+                        "dropping ~2.5 TFLOP and the (B,G,E) temporaries "
+                        "from the step")
     args = p.parse_args()
 
     from scldm_tpu.nn.vae import build_transformer_vae
@@ -77,7 +83,7 @@ def main():
         cross_chunks=args.cross_chunks,
     )
     task = VAETask(vae, num_training_steps=10_000, learning_rate=3e-4,
-                   fused_pool=args.fused_pool)
+                   fused_pool=args.fused_pool, algebraic_tail=args.algebraic_tail)
     batch = synth_batch(np.random.default_rng(0), args.batch, args.genes, args.seq_len)
     state = task.init_state(jax.random.PRNGKey(0), batch)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
@@ -102,7 +108,11 @@ def main():
     train_flops = 3 * fwd_flops  # fwd + ~2x bwd (remat adds ~1 more fwd of trunk)
     tflops = train_flops / best_dt / 1e12
     for metric, value, unit in (
-        (f"census_vae_train_cells_per_sec_b{args.batch}_remat_{args.remat}_cross_{args.remat_cross}_ck{args.cross_chunks}", args.batch / best_dt, "cells/s"),
+        # NOTE: with --algebraic-tail the step executes FEWER hardware FLOPs
+        # than the analytic module model; tflops/mfu below stay normalized to
+        # the module FLOPs (model-FLOPs utilization — "effective" rate at
+        # doing the reference's work), so runs are comparable across modes.
+        (f"census_vae_train_cells_per_sec_b{args.batch}_remat_{args.remat}_cross_{args.remat_cross}_ck{args.cross_chunks}{'_alg' if args.algebraic_tail else ''}", args.batch / best_dt, "cells/s"),
         ("census_vae_step_ms", best_dt * 1e3, "ms"),
         ("census_vae_tflops", tflops, "TFLOP/s"),
         ("census_vae_mfu", tflops / V5E_BF16_PEAK_TFLOPS, "fraction"),

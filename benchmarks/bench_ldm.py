@@ -37,6 +37,9 @@ def main():
     p.add_argument("--census", action="store_true",
                    help="census-scale pair: E=512/128M VAE tokenizer + the "
                         "reference DiT width over its 64-token latent")
+    p.add_argument("--algebraic-decode", action="store_true",
+                   help="generation decode via the reassociated cross+head "
+                        "tail (training.vae_task.algebraic_decode)")
     args = p.parse_args()
 
     global BATCH, K
@@ -65,7 +68,9 @@ def main():
         n_embed=256, n_embed_input=dit_in, n_layer=8, n_head=8, seq_len=dit_tokens,
         class_vocab_sizes={"clusters": 14}, cfg_dropout_prob=0.8, dtype=jnp.bfloat16,
     )
-    task = LDMTask(vae, vstate.params, dit, create_transport(), num_training_steps=1000)
+    task = LDMTask(vae, vstate.params, dit, create_transport(),
+                   num_training_steps=1000,
+                   algebraic_decode=args.algebraic_decode)
     state = task.init_state(jax.random.PRNGKey(1), batch)
     dev_batch = jax.tree_util.tree_map(jnp.asarray, batch)
     stacked = jax.tree_util.tree_map(lambda x: jnp.stack([x] * K), dev_batch)
@@ -115,6 +120,8 @@ def main():
     dt = time.perf_counter() - t0
     cells_per_sec = 2 * BATCH * reps / dt  # doubled batch: uncond + cond halves
     denoiser_steps_per_sec = num_steps * reps / dt
+    if args.algebraic_decode:
+        tag = f"{tag}alg_"  # generation metrics only — training is unaffected
     print(json.dumps({
         "metric": f"{tag}cfg_generation_cells_per_sec",
         "value": round(cells_per_sec, 1),

@@ -33,14 +33,28 @@ ITEMS = {
     "flash_compiled": [sys.executable, "-m", "benchmarks.check_flash_compiled"],
     # census MFU re-confirmation at HEAD
     "census": [sys.executable, "-m", "benchmarks.bench_census"],
+    # XLA-reassociated cross+head (round-3 continuation): drops ~2.5 of the
+    # census step's ~9.6 TFLOP; flips to the VAETask default if it wins
+    "census_algebraic": [
+        sys.executable, "-m", "benchmarks.bench_census", "--algebraic-tail",
+    ],
+    # the (B,G,E) temporaries gone, B=32 may fit plain (it OOMed before)
+    "census_algebraic_b32": [
+        sys.executable, "-m", "benchmarks.bench_census", "--algebraic-tail",
+        "--batch", "32",
+    ],
     # opt-in (--all): slower full reruns
     "ldm": [sys.executable, "-m", "benchmarks.bench_ldm"],
+    # generation decode with the reassociated tail (forward-only win case)
+    "ldm_algebraic": [
+        sys.executable, "-m", "benchmarks.bench_ldm", "--algebraic-decode",
+    ],
     "quality": [sys.executable, "-m", "benchmarks.quality_e2e"],
     # batch-size scaling study (VERDICT r2 item 7) — harness shipped round 3
     # but the relay died before a TPU run could populate the table
     "batch_scaling": [sys.executable, "-m", "benchmarks.bench_batch_scaling"],
 }
-CORE = ["bench", "flash_compiled", "census"]
+CORE = ["bench", "flash_compiled", "census", "census_algebraic", "census_algebraic_b32"]
 
 
 def probe(timeout_s: int = 120) -> dict:

@@ -170,6 +170,7 @@ def build_vae_task(cfg: Dict, vae: TransformerVAE, max_steps: int, mesh=None) ->
         mesh=mesh,
         fsdp=tr.get("fsdp", False),
         gene_sp=tr.get("gene_sp", False),
+        algebraic_tail=tr.get("algebraic_tail", False),
     )
 
 
@@ -238,6 +239,7 @@ def build_ldm_task(
         fsdp=tr.get("fsdp", False),
         pipeline_microbatches=tr.get("pipeline_microbatches"),
         gene_sp=bool(tr.get("gene_sp", False)),
+        algebraic_decode=bool(tr.get("algebraic_decode", False)),
     )
 
 

@@ -16,6 +16,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -73,6 +74,7 @@ class LDMTask:
         fused_encode: Optional[bool] = None,  # None = auto (TPU, frozen VAE)
         pipeline_microbatches: Optional[int] = None,  # GPipe DiT trunk over "model"
         gene_sp: bool = False,  # decode gene (sequence) parallelism over "model"
+        algebraic_decode: Optional[bool] = None,  # opt-in: reassociated decode tail
     ):
         self.calculate_grad_norms = calculate_grad_norms
         self.fsdp = fsdp
@@ -143,6 +145,17 @@ class LDMTask:
                 "gene_sp and pipeline_microbatches both claim the mesh "
                 "'model' axis — enable at most one"
             )
+        # opt-in pending TPU measurement (same story as VAETask.algebraic_tail):
+        # the generation decode's cross+head reassociated so the SwiGLU down
+        # projection contracts with the head mu vector — forward-only here, so
+        # the win is pure matmul FLOPs + the (2B, G, E) decode temporaries.
+        # Plain XLA (GSPMD-safe), but gene_sp already owns the mesh decode
+        # layout, so it steps aside there.
+        from scldm_tpu.training.vae_task import _algebraic_path_ok
+
+        self.algebraic_decode = (
+            bool(algebraic_decode) and not self.gene_sp and _algebraic_path_ok(vae)
+        )
         self.ema_cfg = dict(
             beta=ema_decay,
             update_every=ema_update_every,
@@ -439,8 +452,10 @@ class LDMTask:
                 )
             return jax.tree_util.tree_map(put, tree)
 
-        @partial(jax.jit, static_argnums=(5,))
-        def sample_fn(dit_params, vae_params, rng, genes, condition, batch_size):
+        @partial(jax.jit, static_argnums=(5, 6))
+        def sample_fn(
+            dit_params, vae_params, rng, genes, condition, batch_size, alg_decode
+        ):
             k_sf, k_z, k_nb = jax.random.split(rng, 3)
             log_sf = size_factor_sampler.sample(k_sf, condition, batch_size)
             z0 = jax.random.normal(k_z, (batch_size, seq_len, latent), jnp.float32)
@@ -505,7 +520,14 @@ class LDMTask:
             )
             sf = jnp.exp(log_sf).reshape(-1, 1)
             sf_cfg = jnp.concatenate([sf, sf], axis=0)
-            out = self.vae.apply(vae_params, samples, genes_cfg, sf_cfg, method="decode")
+            if alg_decode:
+                from scldm_tpu.training.vae_task import algebraic_decode as _alg_decode
+
+                out = _alg_decode(self.vae, vae_params, samples, sf_cfg)
+            else:
+                out = self.vae.apply(
+                    vae_params, samples, genes_cfg, sf_cfg, method="decode"
+                )
             out = _constrain_genes(out)
             counts = nb_sample(k_nb, out["mu"], out["theta"])
             return counts, samples
@@ -535,6 +557,20 @@ class LDMTask:
                     raise ValueError(
                         "batch_size required when genes is 1-D and no condition given"
                     )
-            return sample_fn(dit_p, vae_p, rng, genes, condition or {}, int(batch_size))
+            # the reassociated tail reads the FULL canonical gene table as its
+            # query set — verify (host-side, once per call) the requested
+            # genes really are the canonical row 1..G before routing to it
+            alg_decode = bool(
+                self.algebraic_decode
+                and genes.ndim == 1
+                and genes.shape[0] == self.vae.decoder.n_genes
+                and np.array_equal(
+                    np.asarray(genes),
+                    np.arange(1, self.vae.decoder.n_genes + 1),
+                )
+            )
+            return sample_fn(
+                dit_p, vae_p, rng, genes, condition or {}, int(batch_size), alg_decode
+            )
 
         return wrapped

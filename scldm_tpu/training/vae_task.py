@@ -325,6 +325,141 @@ def fused_nb_apply(
     return {"mu": mu, "theta": theta}, h_z
 
 
+def algebraic_nb_apply(
+    vae: TransformerVAE,
+    params,
+    batch: Dict,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[Dict[str, jax.Array], jax.Array]:
+    """VAE forward with the decoder cross block + NB head REASSOCIATED in
+    plain XLA: the SwiGLU down projection's only consumer is the head's mu
+    vector, so ``wv = wmlp @ wmu`` replaces the (Hd, E) down matmul and the
+    (B, G, E) MLP-output / head-input tensors are never materialized
+    (the reference computes them in full — layers.py:267-333 +
+    stochastic_layers.py:76-121). At census shapes (B=16, G=36601, E=512,
+    Hd=1408) this removes ~0.84 TFLOP from the forward and ~1.7 TFLOP from
+    the backward of the ~9.6 TFLOP train step, plus ~2.3 GB of (B, G, E)
+    activations. Same algebra as ops/fused_decoder._tail_math, but expressed
+    in differentiable XLA ops: width-agnostic (the Pallas tail is gated to
+    E<=128 by its VMEM tiles), GSPMD-shardable, and keeps XLA's
+    saved-activation backward.
+
+    Requires the canonical batch-free gene-query path (lean wire batches,
+    post-`_materialize`) and the `_algebraic_path_ok` architecture gate.
+    """
+    rngs = {"dropout": rng} if (train and rng is not None) else None
+    emb = vae.apply(
+        params, batch[C_SUB], batch[G_SUB],
+        method=lambda m, c, g: m.input_layer(c, g),
+    )
+    h_z = vae.apply(
+        params, emb, train,
+        method=lambda m, e, tr: m.encoder(e, train=tr), rngs=rngs,
+    )
+    x = vae.apply(
+        params, h_z, train,
+        method=lambda m, z, tr: m.decoder(z, None, train=tr, trunk_only=True),
+        rngs=rngs,
+    )  # (B, M, E) pre-cross latents
+    return _algebraic_tail(vae, params, x, batch[LIB]), h_z
+
+
+def _algebraic_tail(
+    vae: TransformerVAE,
+    params,
+    x: jax.Array,  # (B, M, E) pre-cross latents (decoder trunk output)
+    library_size: jax.Array,  # (B, 1)
+) -> Dict[str, jax.Array]:
+    """The reassociated cross block + NB head over the canonical gene table
+    (the differentiable back half of `algebraic_nb_apply`; also the decode
+    tail of the LDM generation program when `LDMTask(algebraic_decode=)`)."""
+    from scldm_tpu.ops.attention import sdpa_shared_q
+
+    p = params["params"]
+    ca = p["decoder"]["decoder_cross_attention"]
+    head = p["decoder_head"]
+    eps = vae.decoder.layernorm_eps
+    n_head = vae.decoder.n_head_cross
+    dt = vae.decoder.dtype
+    E = vae.decoder.n_embed
+    hd = E // n_head
+
+    table = p["input_layer"]["gene_embedding"]["embedding"]  # (G+1, E) f32
+    q32 = table[1:]  # canonical genes 1..G
+    qp = (
+        _ln_affine(q32, ca["ln_1q"]["LayerNorm_0"], eps).astype(dt)
+        @ ca["attn"]["c_attn_q"]["kernel"].astype(dt)
+    )  # (G, E)
+    xn = _ln_affine(x.astype(jnp.float32), ca["ln_1"]["LayerNorm_0"], eps).astype(dt)
+    kv = xn @ ca["attn"]["c_attn"]["kernel"].astype(dt)  # (B, M, 2E)
+    k, v = jnp.split(kv, 2, axis=-1)
+    B, M = k.shape[0], k.shape[1]
+    G = qp.shape[0]
+    y = sdpa_shared_q(
+        qp.reshape(G, n_head, hd),
+        k.reshape(B, M, n_head, hd),
+        v.reshape(B, M, n_head, hd),
+    ).reshape(B, G, E)
+    y = y @ ca["attn"]["c_proj"]["kernel"].astype(dt)
+
+    h = q32.astype(dt)[None] + y  # residual connects to the raw queries
+    hn = _ln_affine(h.astype(jnp.float32), ca["ln_2"]["LayerNorm_0"], eps).astype(dt)
+    mlp = ca["mlp"]
+    w12 = jnp.concatenate(
+        [mlp["w1"]["kernel"], mlp["w2"]["kernel"]], axis=1
+    ).astype(dt)
+    ab = hn @ w12  # (B, G, 2*Hd)
+    a, b = jnp.split(ab, 2, axis=-1)
+    g3 = jax.nn.silu(a) * b  # (B, G, Hd) — the largest live tensor
+    wmu = head["params"]["kernel"]  # (E, 1) f32
+    wv = (mlp["c_proj"]["kernel"] @ wmu).astype(dt)  # (Hd, 1) — the fusion
+    logits = (
+        jnp.einsum(
+            "bge,e->bg", h, wmu[:, 0].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        + jnp.einsum("bgh,h->bg", g3, wv[:, 0], preferred_element_type=jnp.float32)
+        + head["params"]["bias"][0].astype(jnp.float32)
+    )
+    theta = jnp.exp(head["theta"]["embedding"][1:, 0].astype(jnp.float32))
+    mu = jax.nn.softmax(logits / vae.decoder_head.t, axis=1) * library_size
+    return {"mu": mu, "theta": theta}
+
+
+def algebraic_decode(
+    vae: TransformerVAE,
+    params,
+    z: jax.Array,  # (B, M, E_latent) latents (generation samples)
+    library_size: jax.Array,  # (B, 1)
+) -> Dict[str, jax.Array]:
+    """`TransformerVAE.decode` over the canonical gene list with the
+    reassociated cross+head tail — the generation decode's hot path
+    (reference models.py:766-819 decodes the full (2B, G, E) tensor)."""
+    x = vae.apply(
+        params, z,
+        method=lambda m, zz: m.decoder(zz, None, trunk_only=True),
+    )
+    return _algebraic_tail(vae, params, x, library_size)
+
+
+def _algebraic_path_ok(vae: TransformerVAE) -> bool:
+    """Architecture gate for algebraic_nb_apply — `_fused_path_ok` minus the
+    Pallas width limit (the reassociation is pure XLA, so any n_embed works)."""
+    from scldm_tpu.nn.heads import NegativeBinomialTransformerHead
+
+    head = vae.decoder_head
+    return (
+        isinstance(head, NegativeBinomialTransformerHead)
+        and head.shared_theta
+        and vae.decoder.shared_embedding
+        and not vae.decoder.use_adaln
+        and vae.decoder.dropout == 0.0
+        and not vae.decoder.bias  # the raw-param prep omits qkv/proj biases
+        and vae.decoder.n_embed % vae.decoder.n_head_cross == 0
+    )
+
+
 def _fused_path_ok(vae: TransformerVAE) -> bool:
     """Static conditions under which fused_nb_apply matches the module path
     and the kernel's tile sizes fit VMEM. The kernel exists to fuse the
@@ -436,6 +571,7 @@ class VAETask:
         fused_decoder: Optional[bool] = None,  # None = auto (TPU & eligible arch)
         fused_trunk: Optional[bool] = None,  # opt-in only (measured loss at reference shapes)
         fused_pool: Optional[bool] = None,  # opt-in: window-kernel MCAB pooling (census widths)
+        algebraic_tail: Optional[bool] = None,  # opt-in: XLA-reassociated cross+head (census widths)
         mesh: Optional[Mesh] = None,
         fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
         gene_sp: bool = False,  # decode-side gene (sequence) parallelism over "model"
@@ -463,6 +599,14 @@ class VAETask:
         # census widths (E>=256) XLA's materialized attention chain is the
         # slow side and the kernel wins (benchmarks/bench_census.py --fused-pool)
         self.fused_pool = bool(fused_pool) and _fused_window_ok(vae)
+        # opt-in pending TPU measurement (benchmarks/bench_census.py
+        # --algebraic-tail, queued in benchmarks/revalidate.py): strictly
+        # fewer FLOPs and no (B, G, E) temporaries, but the flash-cross
+        # result (ROADMAP) showed XLA fusion effects can flip end-to-end
+        # signs, so the default stays the module path until measured.
+        # Unlike the Pallas kernels this is plain XLA, so it stays valid
+        # under a multi-device mesh (GSPMD partitions it like the module).
+        self.algebraic_tail = bool(algebraic_tail) and _algebraic_path_ok(vae)
         self._pool_interpret = False  # tests: run the pool kernel in interpret mode
         self.mesh = mesh
         # gene/sequence parallelism: shard the decoder's GENE axis over the
@@ -488,9 +632,12 @@ class VAETask:
             self.gene_sp = False
         if self.gene_sp:
             # the fused Pallas paths partition manually and are only eligible
-            # at E<=128, where activations are not the gate — module path only
+            # at E<=128, where activations are not the gate — module path only.
+            # gene_sp also owns the decode layout, so the algebraic tail (which
+            # computes the full replicated (B, G) logits) steps aside.
             self.fused_decoder = False
             self.fused_pool = False
+            self.algebraic_tail = False
         if num_warmup_steps is None:
             num_warmup_steps = max(1, int(0.1 * num_training_steps))  # _utils.py:96-106
         schedule = wsd_schedule(
@@ -677,10 +824,17 @@ class VAETask:
             and batch[C_SUB].shape[0] <= MAX_FUSED_BATCH
         )
 
+    def _use_algebraic(self, batch: Dict) -> bool:
+        """Static gate for the XLA-reassociated cross+head path: eligible
+        architecture + the canonical lean wire batch (the tail reads the
+        full gene table as its batch-free query set)."""
+        return self.algebraic_tail and COUNTS not in batch and C_SUB in batch
+
     # -- steps -----------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         # fused path: canonical 1-D genes (lean batch) + eligible architecture
         use_fused = self._use_fused(batch)
+        use_algebraic = not use_fused and self._use_algebraic(batch)
         batch = self._materialize(batch)
         if self.gene_sp:
             # the NLL target shards like mu, so the loss computes shard-local
@@ -694,6 +848,10 @@ class VAETask:
                 out, _ = fused_nb_apply(
                     self.vae, params, batch, train=True, rng=rng_d,
                     use_trunk=self.fused_trunk,
+                )
+            elif use_algebraic:
+                out, _ = algebraic_nb_apply(
+                    self.vae, params, batch, train=True, rng=rng_d
                 )
             else:
                 out, _ = self._apply(params, batch, train=True, rng=rng_d)
@@ -740,11 +898,15 @@ class VAETask:
     def _eval_step_impl(self, params, batch: Dict, rng: jax.Array) -> Dict:
         """Validation metrics (reference models.py:289-333): loss, theta,
         zeros-accuracy, MSE/PCC on log1p-CPM-scaled sampled counts."""
+        use_algebraic = self._use_algebraic(batch)
         batch = self._materialize(batch)
         if self.gene_sp:
             batch = dict(batch)
             batch[COUNTS] = self._gene_shard(batch[COUNTS], 1)
-        out, _ = self._apply(params, batch, train=False)
+        if use_algebraic:
+            out, _ = algebraic_nb_apply(self.vae, params, batch, train=False)
+        else:
+            out, _ = self._apply(params, batch, train=False)
         counts = batch[COUNTS]
         loss = vae_loss(counts, out, self.gaussian_head)
         mets = {"val_loss": loss, "val_llh": loss}

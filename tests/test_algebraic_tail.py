@@ -1,0 +1,232 @@
+"""algebraic_nb_apply: XLA-reassociated decoder cross block + NB head.
+
+The reassociation (wv = wmlp @ wmu; the (B, G, E) MLP output and head input
+are never formed) must be numerically equivalent to the flax module path —
+same floats reassociated, so f32 models agree to tight tolerance in outputs
+AND gradients. Mirrors the fused-decoder kernel's test strategy
+(tests/test_fused_decoder.py) for the pure-XLA variant that covers census
+widths (E > 128, where the Pallas tail is ineligible).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scldm_tpu.nn.vae import build_transformer_vae
+from scldm_tpu.training.vae_task import (
+    VAETask,
+    _algebraic_path_ok,
+    algebraic_nb_apply,
+    vae_loss,
+)
+
+G, S, B, E = 50, 24, 4, 48  # E > n_head_cross * 8 keeps heads non-trivial
+
+
+def _lean_batch(rng, batch=B, n_genes=G, seq_len=S):
+    genes_sub = np.zeros((batch, seq_len), np.int32)
+    counts_sub = np.zeros((batch, seq_len), np.float32)
+    for i in range(batch):
+        nnz = int(rng.integers(seq_len // 2, seq_len))
+        idx = np.sort(rng.choice(n_genes, size=nnz, replace=False))
+        genes_sub[i, :nnz] = idx + 1
+        counts_sub[i, :nnz] = rng.poisson(3.0, size=nnz) + 1
+    return {
+        "genes_subset": jnp.asarray(genes_sub),
+        "counts_subset": jnp.asarray(counts_sub),
+        "library_size": jnp.asarray(counts_sub.sum(1, keepdims=True)),
+    }
+
+
+def _build(dtype=jnp.float32, **kw):
+    return build_transformer_vae(
+        n_genes=G, n_embed=E, n_embed_latent=16, n_layer=2,
+        n_inducing_points=8, n_head=4, n_head_cross=4, multiple_of=8,
+        dtype=dtype, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    vae = _build()
+    task = VAETask(vae, num_training_steps=100)
+    batch = _lean_batch(np.random.default_rng(0))
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    return vae, task, batch, state
+
+
+def test_path_eligibility(setup):
+    vae, *_ = setup
+    assert _algebraic_path_ok(vae)
+    # dropout / biased / non-shared-theta variants are ineligible
+    assert not _algebraic_path_ok(_build(dropout=0.1))
+    assert not _algebraic_path_ok(_build(bias=True))
+    assert not _algebraic_path_ok(_build(decoder_head="gaussian"))
+
+
+def test_forward_matches_module(setup):
+    vae, task, batch, state = setup
+    mat = task._materialize(batch)
+    out_mod, hz_mod = task._apply(state.params, mat, train=False)
+    out_alg, hz_alg = algebraic_nb_apply(vae, state.params, mat, train=False)
+    np.testing.assert_allclose(hz_alg, hz_mod, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out_alg["theta"], out_mod["theta"], rtol=1e-6)
+    # mu goes through a softmax over G — reassociated matmuls agree to ~1e-4
+    np.testing.assert_allclose(out_alg["mu"], out_mod["mu"], rtol=2e-3, atol=1e-5)
+
+
+def test_gradients_match_module(setup):
+    vae, task, batch, state = setup
+    mat = task._materialize(batch)
+
+    def loss_mod(p):
+        out, _ = task._apply(p, mat, train=False)
+        return vae_loss(mat["counts"], out, False)
+
+    def loss_alg(p):
+        out, _ = algebraic_nb_apply(vae, p, mat, train=False)
+        return vae_loss(mat["counts"], out, False)
+
+    l_mod, g_mod = jax.value_and_grad(loss_mod)(state.params)
+    l_alg, g_alg = jax.value_and_grad(loss_alg)(state.params)
+    np.testing.assert_allclose(l_alg, l_mod, rtol=1e-5)
+    flat_mod = jax.tree_util.tree_leaves_with_path(g_mod)
+    flat_alg = jax.tree_util.tree_leaves(g_alg)
+    for (path, gm), ga in zip(flat_mod, flat_alg):
+        np.testing.assert_allclose(
+            ga, gm, rtol=5e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_task_dispatch_and_parity(setup):
+    vae, _, batch, _ = setup
+    task_alg = VAETask(vae, num_training_steps=100, algebraic_tail=True)
+    task_mod = VAETask(vae, num_training_steps=100, fused_decoder=False)
+    assert task_alg.algebraic_tail
+    assert task_alg._use_algebraic(batch)
+    # a dense (non-lean) batch falls back to the module path
+    dense = task_alg._materialize(batch)
+    assert not task_alg._use_algebraic(dense)
+
+    state_a = task_alg.init_state(jax.random.PRNGKey(0), batch)
+    state_m = task_mod.init_state(jax.random.PRNGKey(0), batch)
+    state_a, mets_a = task_alg.train_step(state_a, batch)
+    state_m, mets_m = task_mod.train_step(state_m, batch)
+    np.testing.assert_allclose(
+        float(mets_a["train_loss"]), float(mets_m["train_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(mets_a["grad_norm"]), float(mets_m["grad_norm"]), rtol=1e-3
+    )
+    ev_a = task_alg.eval_step(state_a, batch, jax.random.PRNGKey(7))
+    ev_m = task_mod.eval_step(state_m, batch, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(
+        float(ev_a["val_loss"]), float(ev_m["val_loss"]), rtol=1e-4
+    )
+
+    # one more step so updated params flow through the reassociated backward
+    # (train_step donates its input state — the old handles die here)
+    _, mets_a2 = task_alg.train_step(state_a, batch)
+    _, mets_m2 = task_mod.train_step(state_m, batch)
+    np.testing.assert_allclose(
+        float(mets_a2["train_loss"]), float(mets_m2["train_loss"]), rtol=1e-4
+    )
+
+
+def test_bf16_model_runs_finite():
+    vae = _build(dtype=jnp.bfloat16)
+    task = VAETask(vae, num_training_steps=100, algebraic_tail=True)
+    batch = _lean_batch(np.random.default_rng(1))
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    state, mets = task.train_step(state, batch)
+    assert np.isfinite(float(mets["train_loss"]))
+
+
+def test_generation_algebraic_decode_parity():
+    """LDMTask(algebraic_decode=True): the generation program's decode tail
+    reassociated — identical latents, (near-)identical NB counts vs the
+    module decode (discrete draws tolerate a vanishing flip fraction from
+    fp reassociation, same bar as the gene-SP parity test)."""
+    from scldm_tpu.nn.nnets import DiT
+    from scldm_tpu.sampling.size_factors import SizeFactorSampler
+    from scldm_tpu.training.ldm_task import LDMTask
+    from scldm_tpu.transport import create_transport
+
+    vae = _build()
+    batch = _lean_batch(np.random.default_rng(2))
+    genes = jnp.arange(1, G + 1)  # canonical 1-D decode row
+    task_probe = VAETask(vae, num_training_steps=10)
+    vae_params = task_probe.init_state(jax.random.PRNGKey(0), batch).params
+    dit = DiT(
+        n_embed=32, n_embed_input=16, n_layer=2, n_head=4, seq_len=8,
+        class_vocab_sizes={"clusters": 3}, cfg_dropout_prob=0.8,
+    )
+    kwargs = dict(num_training_steps=50, ema_update_after_step=0, ema_update_every=1)
+    task_mod = LDMTask(vae, vae_params, dit, create_transport(), **kwargs)
+    task_alg = LDMTask(
+        vae, vae_params, dit, create_transport(), algebraic_decode=True, **kwargs
+    )
+    assert task_alg.algebraic_decode
+
+    state = task_mod.init_state(jax.random.PRNGKey(3), {"library_size": batch["library_size"], "clusters": jnp.zeros((B,), jnp.int32)})
+    sfs = SizeFactorSampler.__new__(SizeFactorSampler)
+    sfs.strategy = "mutually_exclusive"
+    sfs.tables = {}
+    sfs.joint_table = None
+    sfs.joint_components = None
+    fkw = dict(guidance_weight={"clusters": 1.0}, sampling_method="euler", num_steps=3)
+    cond = {"clusters": jnp.zeros((B,), jnp.int32)}
+    fn_mod = task_mod.make_sample_fn(sfs, **fkw)
+    fn_alg = task_alg.make_sample_fn(sfs, **fkw)
+    c1, z1 = fn_mod(state, jax.random.PRNGKey(7), genes, cond)
+    c2, z2 = fn_alg(state, jax.random.PRNGKey(7), genes, cond)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-6)
+    mismatch = (np.asarray(c1) != np.asarray(c2)).mean()
+    assert mismatch < 1e-3, f"{mismatch:.4f} of counts differ"
+
+    # non-canonical 1-D genes must NOT route through the reassociated tail
+    sub = jnp.arange(1, G // 2 + 1)
+    c3, _ = fn_alg(state, jax.random.PRNGKey(7), sub, cond, batch_size=B)
+    assert c3.shape == (2 * B, G // 2)
+
+
+def test_mesh_dp_parity():
+    """Unlike the Pallas tail (opaque to GSPMD, force-disabled under a real
+    mesh), the algebraic path is plain XLA: the same task under an 8-device
+    DP mesh reproduces the single-device loss."""
+    from scldm_tpu.parallel.mesh import make_mesh, shard_batch
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    vae = _build()
+    batch = _lean_batch(np.random.default_rng(3), batch=8)
+    task1 = VAETask(vae, num_training_steps=100, algebraic_tail=True)
+    s1 = task1.init_state(jax.random.PRNGKey(0), batch)
+    s1, m1 = task1.train_step(s1, batch)
+
+    mesh = make_mesh()
+    task8 = VAETask(vae, num_training_steps=100, algebraic_tail=True, mesh=mesh)
+    assert task8.algebraic_tail  # NOT disabled by the mesh (Pallas paths are)
+    s8 = task8.init_state(jax.random.PRNGKey(0), batch)
+    s8, m8 = task8.train_step(s8, shard_batch(batch, mesh))
+    np.testing.assert_allclose(
+        float(m8["train_loss"]), float(m1["train_loss"]), rtol=1e-4
+    )
+
+
+def test_gene_sp_disables_algebraic_tail():
+    from scldm_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >=2 devices")
+    mesh = make_mesh(n_data=len(devs) // 2, n_model=2)
+    vae = _build()
+    task = VAETask(
+        vae, num_training_steps=100, algebraic_tail=True, mesh=mesh, gene_sp=True
+    )
+    assert not task.algebraic_tail
