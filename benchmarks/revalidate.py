@@ -137,14 +137,25 @@ def main():
                    help="per-item seconds (first compiles run minutes here)")
     p.add_argument("--out", default=str(REPO / "REVALIDATION.json"))
     p.add_argument("--skip-probe", action="store_true")
+    p.add_argument("--probe-timeout", type=int, default=240,
+                   help="seconds; the tunneled relay's cold start has "
+                        "measured ~60s healthy and >120s while flapping")
     args = p.parse_args()
 
     names = args.items or (list(ITEMS) if args.all else CORE)
     report = {"started_unix": round(time.time(), 1), "items": {}}
     out_path = Path(args.out)
+    if out_path.exists():
+        # merge mode: keep previously-collected items (a dead-relay abort or a
+        # partial --items run must never clobber finished measurements); items
+        # re-run now overwrite their old entries
+        try:
+            report["items"] = json.loads(out_path.read_text()).get("items", {})
+        except (json.JSONDecodeError, OSError):
+            pass
 
     if not args.skip_probe:
-        report["probe"] = probe()
+        report["probe"] = probe(timeout_s=args.probe_timeout)
         out_path.write_text(json.dumps(report, indent=2))
         print(f"probe: {report['probe']}", flush=True)
         if not report["probe"]["ok"]:
