@@ -60,8 +60,25 @@ def _device_reachable(timeout_s: int = 180) -> tuple[bool, str]:
         return False, f"device probe timed out after {timeout_s}s (relay unreachable?)"
 
 
+def _device_reachable_with_retry(
+    attempts: int = 5, timeout_s: int = 120
+) -> tuple[bool, str]:
+    """Ride out transient relay blips: retry the probe with backoff before
+    declaring the accelerator unreachable (round 3's official bench recorded
+    null because a single 180s probe landed inside a brief relay outage)."""
+    last = ""
+    for i in range(attempts):
+        ok, detail = _device_reachable(timeout_s)
+        if ok:
+            return True, detail
+        last = detail
+        if i < attempts - 1:
+            time.sleep(min(60, 10 * (i + 1)))
+    return False, f"{last} (after {attempts} probe attempts)"
+
+
 if __name__ == "__main__":
-    _probe_ok, _probe_detail = _device_reachable()
+    _probe_ok, _probe_detail = _device_reachable_with_retry()
     if not _probe_ok:
         print(
             json.dumps(
@@ -251,6 +268,67 @@ def measure_e2e_from_disk(task) -> float | None:
     return n_done * BATCH * STEPS_PER_DISPATCH / dt
 
 
+def measure_e2e_split() -> dict:
+    """Attribute the e2e-from-disk rate to its stages so swings between rounds
+    are explainable (loader regression vs tunnel weather vs device):
+      - loader_cells_per_sec: h5ad reader -> tokenizer -> wire format, host only
+      - h2d_cells_per_sec: device_put of pre-stacked wire batches, sync'd by a
+        scalar fetch (block_until_ready can return early on the tunneled
+        platform, so completion is forced by reading a reduction)
+    """
+    from scldm_tpu.data.datamodule import DataModule
+    from scldm_tpu.data.encoder import VocabularyEncoder
+
+    root = _e2e_dataset_path()
+    vocab = VocabularyEncoder(
+        metadata_json=str(root / "meta.json"),
+        n_genes=N_GENES,
+        class_vocab_sizes={"clusters": 14},
+    )
+    dm = DataModule(
+        vocabulary_encoder=vocab,
+        train_adata_path=str(root / "dentate_synth.h5ad"),
+        batch_size=BATCH,
+        genes_seq_len=SEQ_LEN,
+        sample_genes="expressed",
+        dense_transfer=False,
+        val_fraction=0.0,
+        prefetch=4,
+    )
+    dm.setup()
+    KEYS = ("genes_subset", "counts_subset", "library_size")
+
+    # loader only: drain one epoch, first batch untimed (pool/prefetch spin-up)
+    it = iter(dm.train_batches(0))
+    first = next(it)
+    n_cells = len(first["library_size"])
+    t0 = time.perf_counter()
+    for b in it:
+        n_cells += len(b["library_size"])
+    loader_dt = time.perf_counter() - t0
+    loader_rate = (n_cells - BATCH) / loader_dt if loader_dt > 0 else None
+
+    # H2D only: transfer a production-shaped stacked group, forced complete
+    group = {
+        k: np.stack([np.asarray(first[k])] * STEPS_PER_DISPATCH) for k in KEYS
+    }
+    nbytes = sum(v.nbytes for v in group.values())
+    dev = jax.device_put(group)  # warm the transfer path
+    _ = float(jnp.sum(dev["library_size"]))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        dev = jax.device_put(group)
+        _ = float(jnp.sum(dev["library_size"]))
+    h2d_dt = (time.perf_counter() - t0) / reps
+    h2d_rate = BATCH * STEPS_PER_DISPATCH / h2d_dt if h2d_dt > 0 else None
+    return {
+        "e2e_loader_cells_per_sec": round(loader_rate, 1) if loader_rate else None,
+        "e2e_h2d_cells_per_sec": round(h2d_rate, 1) if h2d_rate else None,
+        "e2e_h2d_mb_per_sec": round(nbytes / 1e6 / h2d_dt, 1) if h2d_dt > 0 else None,
+    }
+
+
 def measure_baseline() -> float | None:
     if BASELINE_CACHE.exists():
         try:
@@ -275,6 +353,10 @@ def main():
         e2e = measure_e2e_from_disk(task)
     except Exception:
         e2e = None
+    try:
+        split = measure_e2e_split()
+    except Exception:
+        split = {}
     base = measure_baseline()
     print(
         json.dumps(
@@ -284,6 +366,7 @@ def main():
                 "unit": "cells/s",
                 "vs_baseline": round(ours / base, 2) if base else None,
                 "e2e_from_disk_cells_per_sec": round(e2e, 1) if e2e else None,
+                **split,
             }
         )
     )

@@ -170,7 +170,9 @@ def build_vae_task(cfg: Dict, vae: TransformerVAE, max_steps: int, mesh=None) ->
         mesh=mesh,
         fsdp=tr.get("fsdp", False),
         gene_sp=tr.get("gene_sp", False),
-        algebraic_tail=tr.get("algebraic_tail", False),
+        # None = auto (on at wide embeds where it measured +13% on TPU);
+        # configs can still pin true/false explicitly
+        algebraic_tail=tr.get("algebraic_tail"),
     )
 
 

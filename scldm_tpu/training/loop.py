@@ -193,6 +193,22 @@ def fit(
                 pending.append(batch)
                 if len(pending) < steps_per_dispatch:
                     continue
+                if step + len(pending) > max_steps:
+                    # the max_steps budget cuts through this group: dispatch
+                    # only the remaining allowance as single steps so a
+                    # resumed run never trains past max_steps (reference
+                    # contract: max_steps = epochs*n_cells//(batch*world),
+                    # /root/reference/src/scldm/_utils.py:62-108).
+                    for b in pending:
+                        if step >= max_steps:
+                            break
+                        dev_b = shard_batch(b, mesh) if mesh is not None else b
+                        state, metrics = task.train_step(state, dev_b)
+                        profiler.tick(metrics)
+                        step += 1
+                        cells_seen += len(b["library_size"])
+                    pending = []
+                    continue
                 stacked = stackers.stack(pending)
                 dev = (
                     shard_stacked_batch(stacked, mesh)

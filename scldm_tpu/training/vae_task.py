@@ -224,6 +224,7 @@ def fused_nb_apply(
     rng: Optional[jax.Array] = None,
     interpret: bool = False,
     use_trunk: Optional[bool] = False,  # opt-in (kernel measured a net loss, ROADMAP #1)
+    bwd_tiles: Optional[Tuple[int, int]] = None,  # (bwd_block_g, bwd_block_b) override for tuning
 ) -> Tuple[Dict[str, jax.Array], jax.Array]:
     """VAE forward with (a) the encoder input-embedding + MCAB pooling and
     (b) the decoder cross block + NB-head logit as fused Pallas kernels
@@ -314,9 +315,13 @@ def fused_nb_apply(
         head["params"]["bias"],
     )
     # tile sizes: fused_decoder_tail's defaults are the swept-fastest ones
-    # (bwd_block_g=1024 measured 15.9 vs 17.3 ms at the old (256, 8))
+    # (bwd_block_g=1024 measured 15.9 vs 17.3 at the old (256, 8));
+    # bwd_tiles lets benchmarks/tune_fused_tail.py sweep per batch/config
+    tile_kw = {}
+    if bwd_tiles is not None:
+        tile_kw = {"bwd_block_g": bwd_tiles[0], "bwd_block_b": bwd_tiles[1]}
     logits = fused_decoder_tail(
-        qp, q, kfull, vproj, weights, n_head, eps, interpret=interpret
+        qp, q, kfull, vproj, weights, n_head, eps, interpret=interpret, **tile_kw
     )  # (B, G) f32
 
     theta = jnp.exp(head["theta"]["embedding"][1:, 0].astype(jnp.float32))  # (G,)
@@ -599,13 +604,16 @@ class VAETask:
         # census widths (E>=256) XLA's materialized attention chain is the
         # slow side and the kernel wins (benchmarks/bench_census.py --fused-pool)
         self.fused_pool = bool(fused_pool) and _fused_window_ok(vae)
-        # opt-in pending TPU measurement (benchmarks/bench_census.py
-        # --algebraic-tail, queued in benchmarks/revalidate.py): strictly
-        # fewer FLOPs and no (B, G, E) temporaries, but the flash-cross
-        # result (ROADMAP) showed XLA fusion effects can flip end-to-end
-        # signs, so the default stays the module path until measured.
+        # Default-on at wide embeds since the round-4 TPU measurement:
+        # census (E=512, B=16) runs 133.9 ms/step on the module path vs
+        # 118.4 ms reassociated (+13% throughput, MFU 40.1% -> 45.3%;
+        # REVALIDATION census vs census_algebraic). At E<=128 the fused
+        # Pallas tail is the measured win and takes dispatch precedence,
+        # so auto only enables this where that kernel is width-ineligible.
         # Unlike the Pallas kernels this is plain XLA, so it stays valid
         # under a multi-device mesh (GSPMD partitions it like the module).
+        if algebraic_tail is None:
+            algebraic_tail = vae.decoder.n_embed > 128
         self.algebraic_tail = bool(algebraic_tail) and _algebraic_path_ok(vae)
         self._pool_interpret = False  # tests: run the pool kernel in interpret mode
         self.mesh = mesh

@@ -42,11 +42,13 @@ def _lean_batch(rng, batch=B, n_genes=G, seq_len=S):
 
 
 def _build(dtype=jnp.float32, **kw):
-    return build_transformer_vae(
+    kwargs = dict(
         n_genes=G, n_embed=E, n_embed_latent=16, n_layer=2,
         n_inducing_points=8, n_head=4, n_head_cross=4, multiple_of=8,
-        dtype=dtype, **kw,
+        dtype=dtype,
     )
+    kwargs.update(kw)  # tests may override (e.g. n_embed for width gates)
+    return build_transformer_vae(**kwargs)
 
 
 @pytest.fixture(scope="module")
@@ -100,6 +102,19 @@ def test_gradients_match_module(setup):
             ga, gm, rtol=5e-3, atol=1e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_auto_default_follows_width():
+    """algebraic_tail=None (the default) auto-enables only at wide embeds
+    (n_embed > 128), where the round-4 TPU measurement showed +13% and the
+    fused Pallas tail is width-ineligible; explicit False always wins."""
+    wide = _build(n_embed=256)
+    narrow = _build(n_embed=48)
+    assert VAETask(wide, num_training_steps=10).algebraic_tail
+    assert not VAETask(narrow, num_training_steps=10).algebraic_tail
+    assert not VAETask(
+        wide, num_training_steps=10, algebraic_tail=False
+    ).algebraic_tail
 
 
 def test_task_dispatch_and_parity(setup):

@@ -300,6 +300,19 @@ class TestPreemptionDropsPending:
         assert int(final.step) == 20
         mgr2.close()
 
+    @pytest.mark.parametrize("k", [1, 4])
+    def test_max_steps_never_overshot(self, tiny_task, k):
+        """max_steps cuts through a dispatch group (18 % 4 != 0 with
+        10-batch epochs): the loop must clamp the final group to the budget,
+        never train past it (reference: max_steps = epochs*n_cells//
+        (batch*world), trainer stops exactly there)."""
+        state = tiny_task.init_state(jax.random.PRNGKey(0), make_batch(0))
+        final = fit(
+            tiny_task, StubDataModule(), state, max_steps=18, epochs=2,
+            log_every_steps=100, steps_per_dispatch=k,
+        )
+        assert int(final.step) == 18
+
     def test_epoch_end_flush_still_happens_unpreempted(self, tiny_task):
         """Without preemption the partial group still flushes at epoch end
         (10 batches, K=4 -> 2 dispatches + 2 single-step flushes)."""
@@ -323,7 +336,7 @@ class TestOffMainThreadInstall:
             try:
                 g = PreemptionGuard().install()
                 g.request_stop()
-                result["stop"] = g.stop_requested()
+                result["stop"] = g.stop_requested
                 g.uninstall()
                 result["ok"] = True
             except Exception as e:  # pragma: no cover
