@@ -68,7 +68,14 @@ def main():
                         "down projection contracts with the head mu vector, "
                         "dropping ~2.5 TFLOP and the (B,G,E) temporaries "
                         "from the step")
+    p.add_argument("--fused-gate", action="store_true",
+                   help="+ ops/fused_swiglu.swiglu_vec: SwiGLU + head-vector "
+                        "contraction as one recompute-VJP Pallas kernel — the "
+                        "(B,G,2Hd)/(B,G,Hd) saved-bwd residents (the B=32 "
+                        "OOM) never touch HBM; implies --algebraic-tail")
     args = p.parse_args()
+    if args.fused_gate:
+        args.algebraic_tail = True
 
     from scldm_tpu.nn.vae import build_transformer_vae
     from scldm_tpu.training.vae_task import VAETask
@@ -83,7 +90,8 @@ def main():
         cross_chunks=args.cross_chunks,
     )
     task = VAETask(vae, num_training_steps=10_000, learning_rate=3e-4,
-                   fused_pool=args.fused_pool, algebraic_tail=args.algebraic_tail)
+                   fused_pool=args.fused_pool, algebraic_tail=args.algebraic_tail,
+                   algebraic_fused_gate=args.fused_gate)
     batch = synth_batch(np.random.default_rng(0), args.batch, args.genes, args.seq_len)
     state = task.init_state(jax.random.PRNGKey(0), batch)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
@@ -112,7 +120,7 @@ def main():
         # than the analytic module model; tflops/mfu below stay normalized to
         # the module FLOPs (model-FLOPs utilization — "effective" rate at
         # doing the reference's work), so runs are comparable across modes.
-        (f"census_vae_train_cells_per_sec_b{args.batch}_remat_{args.remat}_cross_{args.remat_cross}_ck{args.cross_chunks}{'_alg' if args.algebraic_tail else ''}", args.batch / best_dt, "cells/s"),
+        (f"census_vae_train_cells_per_sec_b{args.batch}_remat_{args.remat}_cross_{args.remat_cross}_ck{args.cross_chunks}{'_alg' if args.algebraic_tail else ''}{'_fg' if args.fused_gate else ''}", args.batch / best_dt, "cells/s"),
         ("census_vae_step_ms", best_dt * 1e3, "ms"),
         ("census_vae_tflops", tflops, "TFLOP/s"),
         ("census_vae_mfu", tflops / V5E_BF16_PEAK_TFLOPS, "fraction"),

@@ -29,15 +29,19 @@ import jax.numpy as jnp
 B, H, D = 2, 4, 64
 
 
-def best_ms(fn, q, k, v, reps=3):
+def best_ms(fn, q, k, v, reps=3, n=6):
+    """n-1 un-synced dispatches + one scalar fetch per window (matmul_floor
+    methodology): amortizes the tunneled host's dispatch RTT."""
     out = fn(q, k, v)
     _ = float(out.reshape(-1)[0])  # compile + provable sync
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
+        for _ in range(n - 1):
+            fn(q, k, v)
         out = fn(q, k, v)
         _ = float(out.reshape(-1)[0])
-        best = min(best, time.perf_counter() - t0)
+        best = min(best, (time.perf_counter() - t0) / n)
     return best * 1e3
 
 

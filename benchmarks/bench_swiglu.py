@@ -31,15 +31,22 @@ from scldm_tpu.ops.fused_swiglu import fused_swiglu_gate, swiglu_reference
 E, H = 512, 1408  # census cross block MLP (E=512, hidden=1408)
 
 
-def timeit(fn, *args, reps=5):
-    out = fn(*args)
-    _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0][0]))  # compile+sync
+def timeit(fn, *args, reps=3, n=8):
+    """matmul_floor._time methodology: n-1 un-synced dispatches pipeline on
+    the device, one scalar fetch closes the window — amortizes the tunneled
+    host's dispatch RTT, which otherwise dominates single-op timings."""
+
+    def sync(out):
+        return float(jnp.sum(jax.tree_util.tree_leaves(out)[0][0]))
+
+    sync(fn(*args))  # compile + settle
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0][0]))
-        best = min(best, time.perf_counter() - t0)
+        for _ in range(n - 1):
+            fn(*args)
+        sync(fn(*args))
+        best = min(best, (time.perf_counter() - t0) / n)
     return best * 1e3
 
 
@@ -56,7 +63,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=16 * 36_601)
     ap.add_argument("--tiles", nargs="+", default=["512x512", "512x1408", "256x1408"])
-    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--skip-xla-bwd", action="store_true",
+                    help="skip the XLA fwd+bwd point (its compile hung once)")
     args = ap.parse_args()
 
     R = args.rows
@@ -71,24 +80,35 @@ def main():
     fwd_flops = 2 * R * E * 2 * H
     bwd_flops = fwd_flops * 2  # dx + dw passes (recompute adds fwd_flops more)
 
+    import sys
+
+    def note(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
+
+    note("bare matmul compile+measure")
     bare = jax.jit(lambda x, w: jnp.dot(x, w, preferred_element_type=jnp.float32)
                    .astype(jnp.bfloat16))
     emit("bare_up_matmul_ms", timeit(bare, x, w12, reps=args.reps), mm_flops)
 
+    note("xla swiglu fwd compile+measure")
     xla_fwd = jax.jit(swiglu_reference)
     ms_xla_fwd = timeit(xla_fwd, x, w1, w2, reps=args.reps)
     emit("xla_swiglu_fwd_ms", ms_xla_fwd, fwd_flops)
 
-    def fwd_bwd_xla(x, w1, w2):
-        _, vjp = jax.vjp(swiglu_reference, x, w1, w2)
-        return vjp(dg)
+    if not args.skip_xla_bwd:
+        note("xla swiglu fwd+bwd compile+measure (can be slow to compile)")
 
-    ms_xla_fb = timeit(jax.jit(fwd_bwd_xla), x, w1, w2, reps=args.reps)
-    emit("xla_swiglu_fwd_bwd_ms", ms_xla_fb, fwd_flops + bwd_flops)
+        def fwd_bwd_xla(x, w1, w2):
+            _, vjp = jax.vjp(swiglu_reference, x, w1, w2)
+            return vjp(dg)
+
+        ms_xla_fb = timeit(jax.jit(fwd_bwd_xla), x, w1, w2, reps=args.reps)
+        emit("xla_swiglu_fwd_bwd_ms", ms_xla_fb, fwd_flops + bwd_flops)
 
     for tile in args.tiles:
         br, bh = (int(v) for v in tile.split("x"))
         try:
+            note(f"pallas fused tile {tile} compile+measure")
             pfwd = jax.jit(lambda x, w1, w2: fused_swiglu_gate(x, w1, w2, br, bh))
             ms = timeit(pfwd, x, w1, w2, reps=args.reps)
             emit("pallas_swiglu_fwd_ms", ms, fwd_flops, {"tile": tile})

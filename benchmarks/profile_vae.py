@@ -18,7 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 128
+import sys
+
+BATCH = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 128
 N_GENES = 17_002
 SEQ_LEN = 6_147
 K = 10

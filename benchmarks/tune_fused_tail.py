@@ -49,9 +49,12 @@ def run_point(config, batch_size, bg, bb, reps):
 
     def loss_fn(params):
         mat = task._materialize(dev_batch)
-        out, _ = fused_nb_apply(
-            vae, params, dev_batch, train=False, bwd_tiles=(bg, bb)
-        )
+        if bg == 0:  # module-path baseline (tile "module")
+            out, _ = task._apply(params, mat, train=False)
+        else:
+            out, _ = fused_nb_apply(
+                vae, params, dev_batch, train=False, bwd_tiles=(bg, bb)
+            )
         return vae_loss(mat["counts"], out, False)
 
     step = jax.jit(jax.value_and_grad(loss_fn))
@@ -79,7 +82,11 @@ def main():
     for config in args.configs:
         for b in args.batches:
             for tile in args.tiles:
-                bg, bb = (int(v) for v in tile.split("x"))
+                # tile "module" = the plain flax path (fused kernel bypassed):
+                # the baseline any tile must beat to stay admitted
+                bg, bb = (0, 0) if tile == "module" else (
+                    int(v) for v in tile.split("x")
+                )
                 row = {"metric": "fused_tail_fwd_bwd_ms", "value": None,
                        "unit": "ms", "vs_baseline": None, "config": config,
                        "batch": b, "tile": tile}

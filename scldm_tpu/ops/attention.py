@@ -21,8 +21,14 @@ import os
 import jax
 import jax.numpy as jnp
 
-# Token-axis length above which the Pallas kernel wins on TPU (scores no longer
-# fit comfortably in VMEM and XLA materializes them in HBM).
+# Token-axis length above which the Pallas kernel wins on TPU (scores no
+# longer fit comfortably in VMEM and XLA materializes them in HBM). Measured
+# crossover, v5e round 4 (benchmarks/bench_flash_crossover.py, B=2 H=4 D=64,
+# M=S self-attention, dispatch-amortized timing): flash wins at EVERY swept
+# length — 1.36x at S=2048, 1.28x at 4096, 1.46x at 8192, 1.63x at 16384 —
+# and is the only path at S=32768, where XLA's f32 scores want 17 GB HBM.
+# (Round 3's "kernel loses 37.4 vs 35.7 ms" was single-dispatch timing: the
+# tunneled host's dispatch RTT swamped the ~8 ms kernel.)
 _FLASH_MIN_SEQ = 1024
 
 

@@ -210,14 +210,34 @@ def pack_weights(
 from scldm_tpu.ops.tiling import pad_axis as _pad_axis  # shared tiling arithmetic
 
 
-# Largest batch the backward kernel compiles at with the swept (1024, 8)
-# tiles: Mosaic's scoped-VMEM stack grows with the full-resident dk/dv
-# accumulator blocks, and B=512 at dentate shapes exceeds the limit
-# (90.6 MB asked vs 72.3 MB, measured on v5e 2026-08-18); B=256 compiles and
-# runs. Dispatchers must route B > MAX_FUSED_BATCH to the module path —
-# at dentate shapes larger batches are slower per cell anyway
-# (benchmarks/bench_batch_scaling.py: B=256 is 0.88x B=128 throughput).
+# Largest batch the backward kernel compiles at with the batch-aware tiles
+# below: Mosaic's scoped-VMEM stack grows with the bwd tile area and (weakly,
+# via the full-resident dk/dv accumulators) with batch. B=512 at dentate
+# shapes exceeds the limit even at the smallest swept tiles (90.6 MB asked
+# vs 72.3 MB, v5e 2026-08-18); B=256 compiles and runs at (512, 8).
+# Dispatchers must route B > MAX_FUSED_BATCH to the module path.
 MAX_FUSED_BATCH = 256
+
+
+def default_bwd_tiles(n_genes: int, batch: int) -> Tuple[int, int]:
+    """(bwd_block_g, bwd_block_b) per shape, from the round-4 v5e sweep
+    (benchmarks/tune_fused_tail.py over {dentate, parse1m} x {128, 256} x
+    five tile configs, REVALIDATION round 4):
+
+      - B > 128: only (512, 8) compiles everywhere ((1024, 8) and any bb=16
+        exceed scoped VMEM at B=256: 65.8-114.2 MB asked vs 64 MB);
+        measured 102.8 ms dentate / 46.8 ms parse1m fwd+bwd — better per
+        cell than B=128 in isolation.
+      - B <= 128, wide gene axis: (512, 16) beats the old (1024, 8) default
+        61.2 vs 67.2 ms at dentate (17k genes).
+      - B <= 128, narrow gene axis: (1024, 8) stays best (41.4 vs 51.9 ms
+        for (512, 16) at parse1m's 2k genes).
+    """
+    if batch > 128:
+        return (512, 8)
+    if n_genes > 4096:
+        return (512, 16)
+    return (1024, 8)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))

@@ -188,3 +188,140 @@ def swiglu_reference(x, w1, w2):
     u1 = jnp.dot(x, w1, preferred_element_type=jnp.float32)
     u2 = jnp.dot(x, w2, preferred_element_type=jnp.float32)
     return (jax.nn.silu(u1) * u2).astype(x.dtype)
+
+
+# -- SwiGLU + vector head contraction ------------------------------------------
+# The algebraic cross+head tail (training/vae_task.py::_algebraic_tail) folds
+# the MLP down projection into the NB head's mu vector, so the gate's only
+# consumer is `g @ wv` with wv an (H, 1) VECTOR. XLA's backward then saves the
+# (R, 2H) up-projection and (R, H) gate tensors in HBM — 6.1 GB + 2 x 3.1 GB
+# at census B=32, the allocations that OOM it (b32 memory analysis, round 4).
+# This kernel computes s = (silu(x@w1) * (x@w2)) @ wv per row tile entirely in
+# VMEM and recomputes in the backward: nothing (R, H)-shaped ever exists.
+
+
+def _vec_fwd_kernel(x_ref, w12_ref, wv_ref, out_ref):
+    x = x_ref[:]
+    u = jnp.dot(x, w12_ref[:], preferred_element_type=jnp.float32)
+    H = wv_ref.shape[0]
+    g = jax.nn.silu(u[:, :H]) * u[:, H:]
+    out_ref[:] = jnp.dot(
+        g.astype(x.dtype), wv_ref[:], preferred_element_type=jnp.float32
+    )
+
+
+def _vec_bwd_kernel(x_ref, w12_ref, wv_ref, ds_ref, dx_ref, dw12_ref, dwv_ref):
+    i = pl.program_id(0)
+    x = x_ref[:]
+    u = jnp.dot(x, w12_ref[:], preferred_element_type=jnp.float32)
+    H = wv_ref.shape[0]
+    u1, u2 = u[:, :H], u[:, H:]
+    s = jax.nn.sigmoid(u1)
+    silu = u1 * s
+    g = silu * u2
+    ds = ds_ref[:].astype(jnp.float32)  # (br, 1)
+    dg = ds * wv_ref[:].astype(jnp.float32).T  # (br, H)
+    du1 = dg * u2 * (s + silu * (1.0 - s))
+    du2 = dg * silu
+    du = jnp.concatenate([du1, du2], axis=1).astype(x.dtype)  # (br, 2H)
+    dx_ref[:] = jnp.dot(du, w12_ref[:].T, preferred_element_type=jnp.float32)
+    p_w12 = jnp.dot(x.T, du, preferred_element_type=jnp.float32)
+    p_wv = jnp.dot(
+        g.astype(x.dtype).T, ds.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == 0)
+    def _():
+        dw12_ref[:] = p_w12
+        dwv_ref[:] = p_wv
+
+    @pl.when(i > 0)
+    def _():
+        dw12_ref[:] = dw12_ref[:] + p_w12
+        dwv_ref[:] = dwv_ref[:] + p_wv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def swiglu_vec(
+    x: jax.Array,    # (R, E)
+    w12: jax.Array,  # (E, 2H) — w1 | w2 concatenated
+    wv: jax.Array,   # (H, 1) — folded down-proj @ head vector
+    block_r: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """(silu(x @ w1) * (x @ w2)) @ wv -> (R, 1) f32, gate never in HBM."""
+    return _vec_fwd(x, w12, wv, block_r, interpret)
+
+
+def _vec_fwd(x, w12, wv, block_r, interpret):
+    R, E = x.shape
+    br = min(block_r, R)
+    x_p = _pad_axis(x, 0, br)
+    Rp = x_p.shape[0]
+    out = pl.pallas_call(
+        _vec_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+        grid=(Rp // br,),
+        in_specs=[
+            pl.BlockSpec((br, E), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w12.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wv.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_p, w12, wv)
+    return out[:R]
+
+
+def _vec_fused_fwd(x, w12, wv, block_r, interpret):
+    return _vec_fwd(x, w12, wv, block_r, interpret), (x, w12, wv)
+
+
+def _vec_fused_bwd(block_r, interpret, res, ds):
+    x, w12, wv = res
+    R, E = x.shape
+    br = min(block_r, R)
+    x_p = _pad_axis(x, 0, br)
+    ds_p = _pad_axis(ds, 0, br)  # zero rows -> zero cotangents
+    Rp = x_p.shape[0]
+    dx, dw12, dwv = pl.pallas_call(
+        _vec_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, E), jnp.float32),
+            jax.ShapeDtypeStruct(w12.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wv.shape, jnp.float32),
+        ),
+        # the recompute temporaries (u/du/dg/g, ~20 MB f32 at br=512, H=1408)
+        # exceed Mosaic's 16 MB default scoped-vmem budget; 64 MB matches the
+        # decoder-tail kernel's setting and fits v5e
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        grid=(Rp // br,),
+        in_specs=[
+            pl.BlockSpec((br, E), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w12.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wv.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((br, E), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w12.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wv.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x_p, w12, wv, ds_p)
+    return (
+        dx[:R].astype(x.dtype),
+        dw12.astype(w12.dtype),
+        dwv.astype(wv.dtype),
+    )
+
+
+swiglu_vec.defvjp(_vec_fused_fwd, _vec_fused_bwd)
+
+
+def swiglu_vec_reference(x, w12, wv):
+    """Plain XLA formulation of the same contraction (equivalence target)."""
+    u = jnp.dot(x, w12, preferred_element_type=jnp.float32)
+    H = wv.shape[0]
+    g = jax.nn.silu(u[:, :H]) * u[:, H:]
+    return jnp.dot(g.astype(x.dtype), wv, preferred_element_type=jnp.float32)

@@ -314,14 +314,16 @@ def fused_nb_apply(
         head["params"]["kernel"],
         head["params"]["bias"],
     )
-    # tile sizes: fused_decoder_tail's defaults are the swept-fastest ones
-    # (bwd_block_g=1024 measured 15.9 vs 17.3 at the old (256, 8));
-    # bwd_tiles lets benchmarks/tune_fused_tail.py sweep per batch/config
-    tile_kw = {}
-    if bwd_tiles is not None:
-        tile_kw = {"bwd_block_g": bwd_tiles[0], "bwd_block_b": bwd_tiles[1]}
+    # bwd tile sizes: per-shape measured defaults (ops/fused_decoder.
+    # default_bwd_tiles, round-4 v5e sweep); bwd_tiles overrides for
+    # benchmarks/tune_fused_tail.py sweeps
+    from scldm_tpu.ops.fused_decoder import default_bwd_tiles
+
+    if bwd_tiles is None:
+        bwd_tiles = default_bwd_tiles(vae.decoder.n_genes, kfull.shape[0])
     logits = fused_decoder_tail(
-        qp, q, kfull, vproj, weights, n_head, eps, interpret=interpret, **tile_kw
+        qp, q, kfull, vproj, weights, n_head, eps, interpret=interpret,
+        bwd_block_g=bwd_tiles[0], bwd_block_b=bwd_tiles[1],
     )  # (B, G) f32
 
     theta = jnp.exp(head["theta"]["embedding"][1:, 0].astype(jnp.float32))  # (G,)
@@ -336,6 +338,8 @@ def algebraic_nb_apply(
     batch: Dict,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    fused_gate: bool = False,  # swiglu_vec Pallas tail (single-device only)
+    interpret: bool = False,
 ) -> Tuple[Dict[str, jax.Array], jax.Array]:
     """VAE forward with the decoder cross block + NB head REASSOCIATED in
     plain XLA: the SwiGLU down projection's only consumer is the head's mu
@@ -367,7 +371,12 @@ def algebraic_nb_apply(
         method=lambda m, z, tr: m.decoder(z, None, train=tr, trunk_only=True),
         rngs=rngs,
     )  # (B, M, E) pre-cross latents
-    return _algebraic_tail(vae, params, x, batch[LIB]), h_z
+    return (
+        _algebraic_tail(
+            vae, params, x, batch[LIB], fused_gate=fused_gate, interpret=interpret
+        ),
+        h_z,
+    )
 
 
 def _algebraic_tail(
@@ -375,6 +384,8 @@ def _algebraic_tail(
     params,
     x: jax.Array,  # (B, M, E) pre-cross latents (decoder trunk output)
     library_size: jax.Array,  # (B, 1)
+    fused_gate: bool = False,  # SwiGLU+head-vector as one Pallas kernel (single-device only)
+    interpret: bool = False,
 ) -> Dict[str, jax.Array]:
     """The reassociated cross block + NB head over the canonical gene table
     (the differentiable back half of `algebraic_nb_apply`; also the decode
@@ -414,17 +425,40 @@ def _algebraic_tail(
     w12 = jnp.concatenate(
         [mlp["w1"]["kernel"], mlp["w2"]["kernel"]], axis=1
     ).astype(dt)
-    ab = hn @ w12  # (B, G, 2*Hd)
-    a, b = jnp.split(ab, 2, axis=-1)
-    g3 = jax.nn.silu(a) * b  # (B, G, Hd) — the largest live tensor
     wmu = head["params"]["kernel"]  # (E, 1) f32
     wv = (mlp["c_proj"]["kernel"] @ wmu).astype(dt)  # (Hd, 1) — the fusion
+    if fused_gate:
+        # SwiGLU up + gate + head-vector contraction per row tile in VMEM
+        # (ops/fused_swiglu.swiglu_vec): the (B, G, 2Hd) up projection and
+        # (B, G, Hd) gate — 6.1 GB + 3.1 GB saved-bwd residents at census
+        # B=32, the allocations that OOM it — never touch HBM; the backward
+        # recomputes. Single-device only (Pallas calls do not GSPMD-shard).
+        from scldm_tpu.ops.fused_swiglu import swiglu_vec
+
+        G_ = hn.shape[1]
+        mlp_term = swiglu_vec(
+            hn.reshape(-1, E), w12, wv, 512, interpret
+        ).reshape(
+            hn.shape[0], G_
+        )
+    else:
+        # two separate matmuls, NOT hn @ concat(w1, w2): the concat form
+        # materializes the f32 (B, G, 2Hd) up projection before the
+        # split+gate fusion (6.6 GB at census; measured 2.16x the bare
+        # matmul standalone), while the two-dot form lets XLA fuse the gate
+        # into the second matmul's epilogue (1.43x — bench_swiglu, round 4)
+        a = hn @ mlp["w1"]["kernel"].astype(dt)  # (B, G, Hd)
+        b = hn @ mlp["w2"]["kernel"].astype(dt)
+        g3 = jax.nn.silu(a) * b  # (B, G, Hd) — the largest live tensor
+        mlp_term = jnp.einsum(
+            "bgh,h->bg", g3, wv[:, 0], preferred_element_type=jnp.float32
+        )
     logits = (
         jnp.einsum(
             "bge,e->bg", h, wmu[:, 0].astype(dt),
             preferred_element_type=jnp.float32,
         )
-        + jnp.einsum("bgh,h->bg", g3, wv[:, 0], preferred_element_type=jnp.float32)
+        + mlp_term
         + head["params"]["bias"][0].astype(jnp.float32)
     )
     theta = jnp.exp(head["theta"]["embedding"][1:, 0].astype(jnp.float32))
@@ -437,6 +471,7 @@ def algebraic_decode(
     params,
     z: jax.Array,  # (B, M, E_latent) latents (generation samples)
     library_size: jax.Array,  # (B, 1)
+    fused_gate: bool = False,  # swiglu_vec Pallas tail (single-device only)
 ) -> Dict[str, jax.Array]:
     """`TransformerVAE.decode` over the canonical gene list with the
     reassociated cross+head tail — the generation decode's hot path
@@ -445,7 +480,7 @@ def algebraic_decode(
         params, z,
         method=lambda m, zz: m.decoder(zz, None, trunk_only=True),
     )
-    return _algebraic_tail(vae, params, x, library_size)
+    return _algebraic_tail(vae, params, x, library_size, fused_gate=fused_gate)
 
 
 def _algebraic_path_ok(vae: TransformerVAE) -> bool:
@@ -577,6 +612,7 @@ class VAETask:
         fused_trunk: Optional[bool] = None,  # opt-in only (measured loss at reference shapes)
         fused_pool: Optional[bool] = None,  # opt-in: window-kernel MCAB pooling (census widths)
         algebraic_tail: Optional[bool] = None,  # opt-in: XLA-reassociated cross+head (census widths)
+        algebraic_fused_gate: bool = False,  # + swiglu_vec Pallas tail (single-device; opt-in pending TPU sign)
         mesh: Optional[Mesh] = None,
         fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
         gene_sp: bool = False,  # decode-side gene (sequence) parallelism over "model"
@@ -615,6 +651,12 @@ class VAETask:
         if algebraic_tail is None:
             algebraic_tail = vae.decoder.n_embed > 128
         self.algebraic_tail = bool(algebraic_tail) and _algebraic_path_ok(vae)
+        # the swiglu_vec kernel removes the (B, G, 2Hd)/(B, G, Hd) saved-bwd
+        # residents (the census-B=32 OOM); Pallas calls do not GSPMD-shard,
+        # so it is single-device only
+        self.algebraic_fused_gate = (
+            bool(algebraic_fused_gate) and self.algebraic_tail and mesh is None
+        )
         self._pool_interpret = False  # tests: run the pool kernel in interpret mode
         self.mesh = mesh
         # gene/sequence parallelism: shard the decoder's GENE axis over the
@@ -859,7 +901,8 @@ class VAETask:
                 )
             elif use_algebraic:
                 out, _ = algebraic_nb_apply(
-                    self.vae, params, batch, train=True, rng=rng_d
+                    self.vae, params, batch, train=True, rng=rng_d,
+                    fused_gate=self.algebraic_fused_gate,
                 )
             else:
                 out, _ = self._apply(params, batch, train=True, rng=rng_d)
@@ -912,7 +955,10 @@ class VAETask:
             batch = dict(batch)
             batch[COUNTS] = self._gene_shard(batch[COUNTS], 1)
         if use_algebraic:
-            out, _ = algebraic_nb_apply(self.vae, params, batch, train=False)
+            out, _ = algebraic_nb_apply(
+                self.vae, params, batch, train=False,
+                fused_gate=self.algebraic_fused_gate,
+            )
         else:
             out, _ = self._apply(params, batch, train=False)
         counts = batch[COUNTS]

@@ -104,6 +104,31 @@ def test_gradients_match_module(setup):
         )
 
 
+def test_fused_gate_matches_plain_algebraic(setup):
+    """fused_gate=True (ops/fused_swiglu.swiglu_vec: SwiGLU + head-vector
+    contraction per row tile, recompute VJP) must reproduce the plain
+    algebraic tail in outputs AND gradients — same reassociated floats,
+    just never materializing the (B, G, 2Hd)/(B, G, Hd) tensors."""
+    vae, task, batch, state = setup
+    mat = task._materialize(batch)
+
+    def loss(p, fused):
+        out, _ = algebraic_nb_apply(
+            vae, p, batch, train=False, fused_gate=fused, interpret=fused
+        )
+        return vae_loss(mat["counts"], out, False)
+
+    l_plain, g_plain = jax.value_and_grad(lambda p: loss(p, False))(state.params)
+    l_fused, g_fused = jax.value_and_grad(lambda p: loss(p, True))(state.params)
+    np.testing.assert_allclose(l_fused, l_plain, rtol=1e-5)
+    flat_plain = jax.tree_util.tree_leaves_with_path(g_plain)
+    flat_fused = jax.tree_util.tree_leaves(g_fused)
+    for (path, gp), gf in zip(flat_plain, flat_fused):
+        np.testing.assert_allclose(
+            gf, gp, rtol=5e-3, atol=1e-4, err_msg=jax.tree_util.keystr(path)
+        )
+
+
 def test_auto_default_follows_width():
     """algebraic_tail=None (the default) auto-enables only at wide embeds
     (n_embed > 128), where the round-4 TPU measurement showed +13% and the
