@@ -20,6 +20,8 @@ from pathlib import Path
 
 import numpy as np
 
+from benchmarks.provenance import provenance as _provenance
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
@@ -184,6 +186,8 @@ def main():
         return np.log1p(x / np.maximum(x.sum(1, keepdims=True), 1.0) * 1e4)
 
     out = {
+        # provenance: which code produced these numbers, on what device
+        "provenance": _provenance(),
         # self-describing training budget: quality numbers are only meaningful
         # relative to how much compute produced them (VERDICT r2 weak #6)
         "budget": {

@@ -19,6 +19,8 @@ from pathlib import Path
 
 import numpy as np
 
+from benchmarks.provenance import provenance as _provenance
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 from benchmarks.quality_e2e import make_perturbation_dataset
@@ -208,6 +210,7 @@ def main():
         by_weight, key=lambda w: by_weight[w]["combo_identification_accuracy"]
     )
     out = {
+        "provenance": _provenance(),
         **by_weight[best_w],
         "guidance_weight": best_w,
         "combos": len(combos),

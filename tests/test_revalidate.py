@@ -55,7 +55,9 @@ def test_run_item_timeout_preserves_partial_output():
            'print(json.dumps({"metric": "early", "value": 1}), flush=True); '
            'print("relay unreachable", file=sys.stderr, flush=True); '
            'time.sleep(60)']
-    item = run_item("demo", cmd, timeout_s=3)
+    # generous timeout: under full-suite load on a 1-core host the child can
+    # take seconds just to start, and the 'early' line must flush before kill
+    item = run_item("demo", cmd, timeout_s=10)
     assert item["status"] == "timeout"
     assert [r["metric"] for r in item["results"]] == ["early"]
     # the one diagnostic that explains a wedge must survive the timeout
