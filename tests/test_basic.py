@@ -22,3 +22,34 @@ def test_ci_workflow_covers_all_test_files():
     test_files = sorted(p.name for p in (repo / "tests").glob("test_*.py"))
     missing = [f for f in test_files if f"tests/{f}" not in workflow]
     assert not missing, f"test files absent from CI workflow: {missing}"
+
+
+def test_docs_site_plumbing_consistent():
+    """The Sphinx site config must stay buildable: conf.py executes, its
+    bibfile exists and parses as BibTeX entries, and every page listed in
+    index.md's toctree exists on disk (reference ships docs/conf.py +
+    references.bib; this is our equivalent surface)."""
+    import re
+    import runpy
+    from pathlib import Path
+
+    docs = Path(__file__).resolve().parent.parent / "docs"
+    cfg = runpy.run_path(docs / "conf.py")
+    assert cfg["version"] and cfg["extensions"]
+
+    for bibfile in cfg["bibtex_bibfiles"]:
+        bib = (docs / bibfile).read_text()
+        keys = re.findall(r"@\w+\{([^,]+),", bib)
+        assert len(keys) >= 5 and len(keys) == len(set(keys))
+
+    index = (docs / "index.md").read_text()
+    toctree = re.search(r"```\{toctree\}(.*?)```", index, re.S).group(1)
+    pages = [
+        ln.strip() for ln in toctree.splitlines()
+        if ln.strip() and not ln.strip().startswith(":")
+    ]
+    assert pages, "empty toctree"
+    for page in pages:
+        assert (docs / f"{page}.md").exists() or (docs / f"{page}.ipynb").exists(), (
+            f"index.md toctree lists missing page: {page}"
+        )
