@@ -69,13 +69,21 @@ def main():
     rel = err / max(scale, 1e-6)
     ok = rel < 2e-2  # bf16 inputs, fp32 accumulation
 
-    def best_ms(fn):
+    def best_ms(fn, n=6):
+        # n-1 un-synced dispatches pipeline on the device + one scalar-fetch
+        # sync closes the window (matmul_floor methodology): single-dispatch
+        # timing on this tunneled host measures mostly dispatch RTT — that
+        # artifact is what round 3 recorded as a 37.4-vs-35.7 ms kernel
+        # "loss" (bench_flash_crossover: amortized, the kernel wins 1.28-1.63x
+        # at every S >= 2048)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
+            for _ in range(n - 1):
+                fn(q, k, v)
             r = fn(q, k, v)
             _ = float(r.reshape(-1)[0])  # scalar fetch = provable sync
-            best = min(best, time.perf_counter() - t0)
+            best = min(best, (time.perf_counter() - t0) / n)
         return best * 1e3
 
     rows = [
