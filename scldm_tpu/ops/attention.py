@@ -99,6 +99,14 @@ def sdpa_shared_q(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
             q.reshape(M_, H * hd), k.reshape(B, S, H * hd), v.reshape(B, S, H * hd), H
         )
         return y.reshape(B, M_, H, hd)
+    return sdpa_shared_q_xla(q, k, v)
+
+
+def sdpa_shared_q_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """The plain-XLA formulation of `sdpa_shared_q` — also the one callers
+    under GSPMD sharding use directly (a Pallas kernel would not partition;
+    the einsum chain shards on the query axis with zero collectives since
+    every query row only reads the replicated latent kv)."""
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
     scores = jnp.einsum("mhd,bshd->bhms", q, k, preferred_element_type=jnp.float32)

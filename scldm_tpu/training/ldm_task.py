@@ -145,17 +145,15 @@ class LDMTask:
                 "gene_sp and pipeline_microbatches both claim the mesh "
                 "'model' axis — enable at most one"
             )
-        # opt-in pending TPU measurement (same story as VAETask.algebraic_tail):
         # the generation decode's cross+head reassociated so the SwiGLU down
         # projection contracts with the head mu vector — forward-only here, so
         # the win is pure matmul FLOPs + the (2B, G, E) decode temporaries.
-        # Plain XLA (GSPMD-safe), but gene_sp already owns the mesh decode
-        # layout, so it steps aside there.
+        # Plain XLA: under gene_sp (or a pipeline-owned decode layout) it
+        # COMPOSES with the gene-axis sharding — the query-table constraint
+        # gene-shards the whole reassociated tail (round 4).
         from scldm_tpu.training.vae_task import _algebraic_path_ok
 
-        self.algebraic_decode = (
-            bool(algebraic_decode) and not self.gene_sp and _algebraic_path_ok(vae)
-        )
+        self.algebraic_decode = bool(algebraic_decode) and _algebraic_path_ok(vae)
         self.ema_cfg = dict(
             beta=ema_decay,
             update_every=ema_update_every,
@@ -452,6 +450,16 @@ class LDMTask:
                 )
             return jax.tree_util.tree_map(put, tree)
 
+        def _gene_shard(x, gene_axis):
+            # VAETask._gene_shard semantics for the algebraic decode tail
+            axes: list = [None] * x.ndim
+            axes[gene_axis] = "model"
+            if gene_axis > 0:
+                axes[0] = "data"
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(*axes))
+            )
+
         @partial(jax.jit, static_argnums=(5, 6))
         def sample_fn(
             dit_params, vae_params, rng, genes, condition, batch_size, alg_decode
@@ -523,7 +531,10 @@ class LDMTask:
             if alg_decode:
                 from scldm_tpu.training.vae_task import algebraic_decode as _alg_decode
 
-                out = _alg_decode(self.vae, vae_params, samples, sf_cfg)
+                out = _alg_decode(
+                    self.vae, vae_params, samples, sf_cfg,
+                    gene_shard=_gene_shard if tp else None,
+                )
             else:
                 out = self.vae.apply(
                     vae_params, samples, genes_cfg, sf_cfg, method="decode"

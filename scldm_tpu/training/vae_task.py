@@ -340,6 +340,7 @@ def algebraic_nb_apply(
     rng: Optional[jax.Array] = None,
     fused_gate: bool = False,  # swiglu_vec Pallas tail (single-device only)
     interpret: bool = False,
+    gene_shard=None,  # VAETask._gene_shard-style (x, axis) constraint for gene-SP
 ) -> Tuple[Dict[str, jax.Array], jax.Array]:
     """VAE forward with the decoder cross block + NB head REASSOCIATED in
     plain XLA: the SwiGLU down projection's only consumer is the head's mu
@@ -373,7 +374,8 @@ def algebraic_nb_apply(
     )  # (B, M, E) pre-cross latents
     return (
         _algebraic_tail(
-            vae, params, x, batch[LIB], fused_gate=fused_gate, interpret=interpret
+            vae, params, x, batch[LIB], fused_gate=fused_gate,
+            interpret=interpret, gene_shard=gene_shard,
         ),
         h_z,
     )
@@ -386,11 +388,20 @@ def _algebraic_tail(
     library_size: jax.Array,  # (B, 1)
     fused_gate: bool = False,  # SwiGLU+head-vector as one Pallas kernel (single-device only)
     interpret: bool = False,
+    gene_shard=None,  # (x, gene_axis) -> x constrained over the mesh "model" axis
 ) -> Dict[str, jax.Array]:
     """The reassociated cross block + NB head over the canonical gene table
     (the differentiable back half of `algebraic_nb_apply`; also the decode
-    tail of the LDM generation program when `LDMTask(algebraic_decode=)`)."""
-    from scldm_tpu.ops.attention import sdpa_shared_q
+    tail of the LDM generation program when `LDMTask(algebraic_decode=)`).
+
+    With `gene_shard` (gene-SP composition): the canonical query table is
+    constrained over the mesh "model" axis, so GSPMD computes the cross
+    attention, the two-dot SwiGLU and the head contraction on G/n genes per
+    chip — the only cross-shard collectives are the softmax max/sum over the
+    gene axis (and the loss reduction downstream). The Pallas fused_gate
+    kernel cannot partition, so it is mutually exclusive with gene_shard.
+    """
+    from scldm_tpu.ops.attention import sdpa_shared_q, sdpa_shared_q_xla
 
     p = params["params"]
     ca = p["decoder"]["decoder_cross_attention"]
@@ -403,6 +414,10 @@ def _algebraic_tail(
 
     table = p["input_layer"]["gene_embedding"]["embedding"]  # (G+1, E) f32
     q32 = table[1:]  # canonical genes 1..G
+    if gene_shard is not None:
+        # gene-SP: one constraint at the source; GSPMD propagates the G/n
+        # layout through qp/y/h/hn and the two-dot MLP to the logits
+        q32 = gene_shard(q32, 0)
     qp = (
         _ln_affine(q32, ca["ln_1q"]["LayerNorm_0"], eps).astype(dt)
         @ ca["attn"]["c_attn_q"]["kernel"].astype(dt)
@@ -412,7 +427,8 @@ def _algebraic_tail(
     k, v = jnp.split(kv, 2, axis=-1)
     B, M = k.shape[0], k.shape[1]
     G = qp.shape[0]
-    y = sdpa_shared_q(
+    attn = sdpa_shared_q if gene_shard is None else sdpa_shared_q_xla
+    y = attn(
         qp.reshape(G, n_head, hd),
         k.reshape(B, M, n_head, hd),
         v.reshape(B, M, n_head, hd),
@@ -462,6 +478,11 @@ def _algebraic_tail(
         + head["params"]["bias"][0].astype(jnp.float32)
     )
     theta = jnp.exp(head["theta"]["embedding"][1:, 0].astype(jnp.float32))
+    if gene_shard is not None:
+        # keep outputs explicitly gene-sharded (matches _apply_gene_sp): the
+        # softmax over the full gene axis is GSPMD's collective to insert
+        logits = gene_shard(logits, 1)
+        theta = gene_shard(theta, 0)
     mu = jax.nn.softmax(logits / vae.decoder_head.t, axis=1) * library_size
     return {"mu": mu, "theta": theta}
 
@@ -472,6 +493,7 @@ def algebraic_decode(
     z: jax.Array,  # (B, M, E_latent) latents (generation samples)
     library_size: jax.Array,  # (B, 1)
     fused_gate: bool = False,  # swiglu_vec Pallas tail (single-device only)
+    gene_shard=None,  # (x, gene_axis) -> x constraint for gene-SP decode
 ) -> Dict[str, jax.Array]:
     """`TransformerVAE.decode` over the canonical gene list with the
     reassociated cross+head tail — the generation decode's hot path
@@ -480,7 +502,9 @@ def algebraic_decode(
         params, z,
         method=lambda m, zz: m.decoder(zz, None, trunk_only=True),
     )
-    return _algebraic_tail(vae, params, x, library_size, fused_gate=fused_gate)
+    return _algebraic_tail(
+        vae, params, x, library_size, fused_gate=fused_gate, gene_shard=gene_shard
+    )
 
 
 def _algebraic_path_ok(vae: TransformerVAE) -> bool:
@@ -683,11 +707,13 @@ class VAETask:
         if self.gene_sp:
             # the fused Pallas paths partition manually and are only eligible
             # at E<=128, where activations are not the gate — module path only.
-            # gene_sp also owns the decode layout, so the algebraic tail (which
-            # computes the full replicated (B, G) logits) steps aside.
+            # The algebraic tail COMPOSES with gene_sp (round 4): it is plain
+            # XLA, so one sharding constraint on the canonical query table
+            # gene-shards the whole reassociated cross+SwiGLU+head —
+            # per-chip activations shrink to G/n AND the down matmul's
+            # work/memory saving is kept (the census multi-chip layout).
             self.fused_decoder = False
             self.fused_pool = False
-            self.algebraic_tail = False
         if num_warmup_steps is None:
             num_warmup_steps = max(1, int(0.1 * num_training_steps))  # _utils.py:96-106
         schedule = wsd_schedule(
@@ -903,6 +929,7 @@ class VAETask:
                 out, _ = algebraic_nb_apply(
                     self.vae, params, batch, train=True, rng=rng_d,
                     fused_gate=self.algebraic_fused_gate,
+                    gene_shard=self._gene_shard if self.gene_sp else None,
                 )
             else:
                 out, _ = self._apply(params, batch, train=True, rng=rng_d)
@@ -958,6 +985,7 @@ class VAETask:
             out, _ = algebraic_nb_apply(
                 self.vae, params, batch, train=False,
                 fused_gate=self.algebraic_fused_gate,
+                gene_shard=self._gene_shard if self.gene_sp else None,
             )
         else:
             out, _ = self._apply(params, batch, train=False)

@@ -233,6 +233,27 @@ def test_generation_algebraic_decode_parity():
     c3, _ = fn_alg(state, jax.random.PRNGKey(7), sub, cond, batch_size=B)
     assert c3.shape == (2 * B, G // 2)
 
+    # gene-SP composition (round 4): the reassociated decode tail shards
+    # over "model" via the query-table constraint and reproduces the values
+    if len(jax.devices()) >= 4:
+        from scldm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=2, n_model=2)
+        task_sp = LDMTask(
+            vae, vae_params, dit, create_transport(), algebraic_decode=True,
+            mesh=mesh, gene_sp=True, **kwargs
+        )
+        assert task_sp.algebraic_decode and task_sp.gene_sp
+        fn_sp = task_sp.make_sample_fn(sfs, **fkw)
+        c4, z4 = fn_sp(state, jax.random.PRNGKey(7), genes, cond)
+        spec = c4.sharding.spec
+        assert "model" in jax.tree_util.tree_leaves(tuple(spec)), spec
+        np.testing.assert_allclose(
+            np.asarray(z2), np.asarray(z4), rtol=1e-5, atol=1e-5
+        )
+        mismatch = (np.asarray(c2) != np.asarray(c4)).mean()
+        assert mismatch < 1e-3, f"{mismatch:.4f} of counts differ"
+
 
 def test_mesh_dp_parity():
     """Unlike the Pallas tail (opaque to GSPMD, force-disabled under a real
@@ -258,15 +279,38 @@ def test_mesh_dp_parity():
     )
 
 
-def test_gene_sp_disables_algebraic_tail():
-    from scldm_tpu.parallel.mesh import make_mesh
+def test_gene_sp_composes_with_algebraic_tail():
+    """gene-SP + algebraic tail (round 4): the reassociated cross+head is
+    plain XLA, so one sharding constraint on the canonical query table
+    gene-shards it over "model" — per-chip activations drop to G/n AND the
+    down-matmul saving is kept. Train loss AND eval metrics must match the
+    single-device algebraic task."""
+    from scldm_tpu.parallel.mesh import make_mesh, shard_batch
 
     devs = jax.devices()
-    if len(devs) < 2:
-        pytest.skip("needs >=2 devices")
-    mesh = make_mesh(n_data=len(devs) // 2, n_model=2)
+    if len(devs) < 4:
+        pytest.skip("needs >=4 devices")
     vae = _build()
+    batch = _lean_batch(np.random.default_rng(3), batch=8)
+
+    task1 = VAETask(vae, num_training_steps=100, algebraic_tail=True)
+    s1 = task1.init_state(jax.random.PRNGKey(0), batch)
+    s1, m1 = task1.train_step(s1, batch)
+    e1 = task1.eval_step(s1, batch, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(n_data=len(devs) // 2, n_model=2)
     task = VAETask(
         vae, num_training_steps=100, algebraic_tail=True, mesh=mesh, gene_sp=True
     )
-    assert not task.algebraic_tail
+    assert task.gene_sp and task.algebraic_tail  # composition, not fallback
+    s8 = task.init_state(jax.random.PRNGKey(0), batch)
+    s8, m8 = task.train_step(s8, shard_batch(batch, mesh))
+    e8 = task.eval_step(s8, shard_batch(batch, mesh), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(
+        float(m8["train_loss"]), float(m1["train_loss"]), rtol=1e-4
+    )
+    for key in ("val_loss", "val_theta", "val_mse"):
+        np.testing.assert_allclose(
+            float(e8[key]), float(e1[key]), rtol=1e-3, err_msg=key
+        )
