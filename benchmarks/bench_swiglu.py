@@ -69,12 +69,14 @@ def main():
     args = ap.parse_args()
 
     R = args.rows
-    k = jax.random.PRNGKey(0)
-    x = (jax.random.normal(k, (R, E), jnp.bfloat16) * 0.5).block_until_ready()
-    w1 = jax.random.normal(k, (E, H), jnp.bfloat16) * (E**-0.5)
-    w2 = jax.random.normal(k, (E, H), jnp.bfloat16) * (E**-0.5)
+    # distinct keys: w1 == w2 would make the gate degenerate (silu(u)*u with
+    # u1 == u2), hiding du1/du2 asymmetry bugs from the numeric check below
+    kx, k1, k2, kd = jax.random.split(jax.random.PRNGKey(0), 4)
+    x = (jax.random.normal(kx, (R, E), jnp.bfloat16) * 0.5).block_until_ready()
+    w1 = jax.random.normal(k1, (E, H), jnp.bfloat16) * (E**-0.5)
+    w2 = jax.random.normal(k2, (E, H), jnp.bfloat16) * (E**-0.5)
     w12 = jnp.concatenate([w1, w2], axis=1)
-    dg = jax.random.normal(k, (R, H), jnp.bfloat16)
+    dg = jax.random.normal(kd, (R, H), jnp.bfloat16)
 
     mm_flops = 2 * R * E * 2 * H  # the concatenated up matmul
     fwd_flops = 2 * R * E * 2 * H

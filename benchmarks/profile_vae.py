@@ -18,9 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import sys
+import argparse
 
-BATCH = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 128
+_p = argparse.ArgumentParser()
+_p.add_argument("--batch", type=int, default=128)
+BATCH = _p.parse_known_args()[0].batch
 N_GENES = 17_002
 SEQ_LEN = 6_147
 K = 10

@@ -48,7 +48,7 @@ def _fwd_kernel(x_ref, w1_ref, w2_ref, out_ref):
     out_ref[:] = (jax.nn.silu(u1) * u2).astype(out_ref.dtype)
 
 
-def _dx_kernel(x_ref, w1_ref, w2_ref, dg_ref, dx_ref, *, n_hid_tiles):
+def _dx_kernel(x_ref, w1_ref, w2_ref, dg_ref, dx_ref):
     j = pl.program_id(1)
     x = x_ref[:]
     u1 = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
@@ -140,7 +140,7 @@ def _fused_bwd(block_r, block_h, interpret, res, dg):
     Rp, Hp = x_p.shape[0], w1_p.shape[1]
 
     dx = pl.pallas_call(
-        functools.partial(_dx_kernel, n_hid_tiles=Hp // bh),
+        _dx_kernel,
         out_shape=jax.ShapeDtypeStruct((Rp, E), jnp.float32),
         grid=(Rp // br, Hp // bh),  # hidden innermost: dx tile resident
         in_specs=[

@@ -451,14 +451,9 @@ class LDMTask:
             return jax.tree_util.tree_map(put, tree)
 
         def _gene_shard(x, gene_axis):
-            # VAETask._gene_shard semantics for the algebraic decode tail
-            axes: list = [None] * x.ndim
-            axes[gene_axis] = "model"
-            if gene_axis > 0:
-                axes[0] = "data"
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P(*axes))
-            )
+            from scldm_tpu.training.vae_task import gene_shard_constraint
+
+            return gene_shard_constraint(mesh, x, gene_axis)
 
         @partial(jax.jit, static_argnums=(5, 6))
         def sample_fn(

@@ -156,6 +156,46 @@ def fit(
     profiler = StepProfiler(profile_dir, profile_steps)
     preempted = False
 
+    def run_single(b):
+        """One un-stacked optimizer step (ragged tails, budget clamps, epoch-
+        end flushes all dispatch through here so the bookkeeping cannot
+        drift between the call sites)."""
+        nonlocal state, step, cells_seen
+        dev_b = shard_batch(b, mesh) if mesh is not None else b
+        state, m = task.train_step(state, dev_b)
+        profiler.tick(m)
+        step += 1
+        cells_seen += len(b["library_size"])
+        return m
+
+    def flush_log(metrics, epoch, force=False):
+        """Cadenced metric logging + the non-finite fail-fast (reference
+        models.py:1049-1051 raises on NaN losses; here it guards every task).
+        `force` flushes regardless of cadence — used when the run is about to
+        end (max_steps clamp) so the final steps are always inspected before
+        the last checkpoint write."""
+        nonlocal last_logged, t_last, cells_seen
+        if not force and step - last_logged < log_every_steps:
+            return
+        last_logged = step
+        metrics = {k: float(v) for k, v in metrics.items()}
+        if not np.isfinite(metrics.get("train_loss", 0.0)):
+            raise FloatingPointError(
+                f"non-finite train_loss at step {step}: {metrics['train_loss']}"
+            )
+        now = time.perf_counter()
+        metrics["cells_per_sec"] = cells_seen / (now - t_last)
+        t_last, cells_seen = now, 0
+        metrics.update(step=step, epoch=epoch)
+        logger.info(
+            f"step {step} epoch {epoch} "
+            + " ".join(f"{k}={v:.4g}" for k, v in metrics.items() if k not in ("step", "epoch"))
+        )
+        if csv_logger:
+            csv_logger.log(metrics)
+        if wandb_logger:
+            wandb_logger.log(metrics, step=step)
+
     for epoch in range(start_epoch, epochs):
         if step >= max_steps or preempted:
             break
@@ -184,11 +224,7 @@ def fit(
                     for b in pending:
                         if step >= max_steps:
                             break
-                        dev_b = shard_batch(b, mesh) if mesh is not None else b
-                        state, metrics = task.train_step(state, dev_b)
-                        profiler.tick(metrics)
-                        step += 1
-                        cells_seen += len(b["library_size"])
+                        metrics = run_single(b)
                     pending = []
                 pending.append(batch)
                 if len(pending) < steps_per_dispatch:
@@ -202,12 +238,12 @@ def fit(
                     for b in pending:
                         if step >= max_steps:
                             break
-                        dev_b = shard_batch(b, mesh) if mesh is not None else b
-                        state, metrics = task.train_step(state, dev_b)
-                        profiler.tick(metrics)
-                        step += 1
-                        cells_seen += len(b["library_size"])
+                        metrics = run_single(b)
                     pending = []
+                    # the budget is exhausted and the loop is about to exit:
+                    # force-flush so these final steps hit the non-finite
+                    # guard + loggers before the last checkpoint save
+                    flush_log(metrics, epoch, force=True)
                     continue
                 stacked = stackers.stack(pending)
                 dev = (
@@ -221,32 +257,8 @@ def fit(
                 cells_seen += sum(len(b["library_size"]) for b in pending)
                 pending = []
             else:
-                dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
-                state, metrics = task.train_step(state, dev_batch)
-                profiler.tick(metrics)
-                step += 1
-                cells_seen += len(batch["library_size"])
-            if step - last_logged >= log_every_steps:
-                last_logged = step
-                metrics = {k: float(v) for k, v in metrics.items()}
-                # fail fast on numerical blowup (reference models.py:1049-1051
-                # raises on NaN losses; here it guards every task)
-                if not np.isfinite(metrics.get("train_loss", 0.0)):
-                    raise FloatingPointError(
-                        f"non-finite train_loss at step {step}: {metrics['train_loss']}"
-                    )
-                now = time.perf_counter()
-                metrics["cells_per_sec"] = cells_seen / (now - t_last)
-                t_last, cells_seen = now, 0
-                metrics.update(step=step, epoch=epoch)
-                logger.info(
-                    f"step {step} epoch {epoch} "
-                    + " ".join(f"{k}={v:.4g}" for k, v in metrics.items() if k not in ("step", "epoch"))
-                )
-                if csv_logger:
-                    csv_logger.log(metrics)
-                if wandb_logger:
-                    wandb_logger.log(metrics, step=step)
+                metrics = run_single(batch)
+            flush_log(metrics, epoch)
 
         # flush a partial dispatch group at epoch end as single steps — but
         # NOT on preemption: `step` never counted the pending batches, so
@@ -257,11 +269,8 @@ def fit(
         for batch in pending if not preempted else ():
             if step >= max_steps:
                 break
-            dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
-            state, metrics = task.train_step(state, dev_batch)
-            profiler.tick(metrics)
-            step += 1
-            cells_seen += len(batch["library_size"])
+            metrics = run_single(batch)
+            flush_log(metrics, epoch)
 
         if preempted:
             logger.info(

@@ -332,6 +332,17 @@ def fused_nb_apply(
     return {"mu": mu, "theta": theta}, h_z
 
 
+def gene_shard_constraint(mesh, x: jax.Array, gene_axis: int) -> jax.Array:
+    """The gene-SP sharding convention, shared by VAETask and the LDM decode:
+    constrain one tensor's gene axis over "model" (the batch axis, if any
+    leading one, stays on "data")."""
+    axes: list = [None] * x.ndim
+    axes[gene_axis] = "model"
+    if gene_axis > 0:
+        axes[0] = "data"
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*axes)))
+
+
 def algebraic_nb_apply(
     vae: TransformerVAE,
     params,
@@ -438,12 +449,17 @@ def _algebraic_tail(
     h = q32.astype(dt)[None] + y  # residual connects to the raw queries
     hn = _ln_affine(h.astype(jnp.float32), ca["ln_2"]["LayerNorm_0"], eps).astype(dt)
     mlp = ca["mlp"]
-    w12 = jnp.concatenate(
-        [mlp["w1"]["kernel"], mlp["w2"]["kernel"]], axis=1
-    ).astype(dt)
     wmu = head["params"]["kernel"]  # (E, 1) f32
     wv = (mlp["c_proj"]["kernel"] @ wmu).astype(dt)  # (Hd, 1) — the fusion
     if fused_gate:
+        if gene_shard is not None:
+            raise ValueError(
+                "fused_gate (swiglu_vec Pallas tail) cannot GSPMD-partition "
+                "and is mutually exclusive with gene_shard (gene-SP)"
+            )
+        w12 = jnp.concatenate(
+            [mlp["w1"]["kernel"], mlp["w2"]["kernel"]], axis=1
+        ).astype(dt)
         # SwiGLU up + gate + head-vector contraction per row tile in VMEM
         # (ops/fused_swiglu.swiglu_vec): the (B, G, 2Hd) up projection and
         # (B, G, Hd) gate — 6.1 GB + 3.1 GB saved-bwd residents at census
@@ -797,15 +813,7 @@ class VAETask:
         return out
 
     def _gene_shard(self, x: jax.Array, gene_axis: int) -> jax.Array:
-        """Constrain one tensor's gene axis over "model" (batch axis, if any
-        leading one, stays on "data")."""
-        axes: list = [None] * x.ndim
-        axes[gene_axis] = "model"
-        if gene_axis > 0:
-            axes[0] = "data"
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(self.mesh, P(*axes))
-        )
+        return gene_shard_constraint(self.mesh, x, gene_axis)
 
     def _apply_gene_sp(self, params, batch, train: bool, rng):
         """`TransformerVAE.__call__` with the decoder's gene/query axis
