@@ -40,6 +40,12 @@ def main():
     p.add_argument("--algebraic-decode", action="store_true",
                    help="generation decode via the reassociated cross+head "
                         "tail (training.vae_task.algebraic_decode)")
+    p.add_argument("--gen-batch", type=int, default=0,
+                   help="generation batch size (pre-CFG-doubling); 0 = the "
+                        "training batch. Serving throughput scales with this "
+                        "until the decode saturates the chip")
+    p.add_argument("--steps", type=int, default=250,
+                   help="euler ODE steps for the generation pass")
     args = p.parse_args()
 
     global BATCH, K
@@ -101,7 +107,7 @@ def main():
         joint_idx_2_classes = None
 
     sfs = SizeFactorSampler(_E())
-    num_steps = 250
+    num_steps = args.steps
     fn = task.make_sample_fn(
         sfs, guidance_weight={"clusters": 1.0}, sampling_method="euler",
         num_steps=num_steps, use_ema=True,
@@ -109,7 +115,9 @@ def main():
     from scldm_tpu.ops.transforms import canonical_gene_ids
 
     genes = canonical_gene_ids(n_genes)
-    cond = {"clusters": jnp.asarray(batch["clusters"])}
+    GEN_BATCH = args.gen_batch or BATCH
+    gen_clusters = np.resize(batch["clusters"], GEN_BATCH)
+    cond = {"clusters": jnp.asarray(gen_clusters)}
     counts, z = fn(state, jax.random.PRNGKey(2), genes, cond)
     _ = float(counts.ravel()[0])
     t0 = time.perf_counter()
@@ -118,20 +126,22 @@ def main():
         counts, z = fn(state, jax.random.PRNGKey(3 + i), genes, cond)
     _ = float(counts.ravel()[0])
     dt = time.perf_counter() - t0
-    cells_per_sec = 2 * BATCH * reps / dt  # doubled batch: uncond + cond halves
+    cells_per_sec = 2 * GEN_BATCH * reps / dt  # doubled batch: uncond + cond
     denoiser_steps_per_sec = num_steps * reps / dt
     if args.algebraic_decode:
         tag = f"{tag}alg_"  # generation metrics only — training is unaffected
+    if args.gen_batch:
+        tag = f"{tag}b{GEN_BATCH}_"
     print(json.dumps({
         "metric": f"{tag}cfg_generation_cells_per_sec",
         "value": round(cells_per_sec, 1),
-        "unit": "cells/s",
+        "unit": f"cells/s (euler-{num_steps})",
         "vs_baseline": None,
     }))
     print(json.dumps({
         "metric": f"{tag}sampler_denoiser_steps_per_sec",
         "value": round(denoiser_steps_per_sec, 1),
-        "unit": f"steps/s (euler-250, batch {2 * BATCH} CFG)",
+        "unit": f"steps/s (euler-{num_steps}, batch {2 * GEN_BATCH} CFG)",
         "vs_baseline": None,
     }))
 

@@ -66,6 +66,12 @@ def main():
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--ldm-epochs", type=int, default=20)
     p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--sample-steps", type=int, default=100,
+                   help="euler ODE steps for the CFG generation pass")
+    p.add_argument("--use-ema", action="store_true",
+                   help="generate from the EMA(DiT) weights (reference "
+                        "models.py:446-453 default; only sensible once the "
+                        "LDM budget is long enough past ema_update_after_step)")
     p.add_argument("--out", default="QUALITY.json")
     args = p.parse_args()
 
@@ -163,8 +169,8 @@ def main():
 
     sfs = SizeFactorSampler(_E())
     sample_fn = ldm.make_sample_fn(
-        sfs, guidance_weight={"clusters": 1.0}, sampling_method="euler", num_steps=100,
-        use_ema=False,
+        sfs, guidance_weight={"clusters": 1.0}, sampling_method="euler",
+        num_steps=args.sample_steps, use_ema=args.use_ema,
     )
     gen_counts, real_counts, cond_counts = [], [], []
     for i, b in enumerate(val_b * 4):
@@ -194,6 +200,7 @@ def main():
             "cells": args.cells, "genes": args.genes, "batch": args.batch,
             "vae_epochs": args.epochs, "vae_steps": steps,
             "ldm_epochs": args.ldm_epochs, "ldm_steps": ldm_steps,
+            "sample_steps": args.sample_steps, "use_ema": args.use_ema,
             "vae_train_seconds": round(vae_time, 1),
             "ldm_train_seconds": round(ldm_time, 1),
         },
