@@ -314,3 +314,21 @@ def test_gene_sp_composes_with_algebraic_tail():
         np.testing.assert_allclose(
             float(e8[key]), float(e1[key]), rtol=1e-3, err_msg=key
         )
+
+
+def test_fused_gate_rejects_gene_shard():
+    """The swiglu_vec Pallas tail cannot GSPMD-partition, so _algebraic_tail
+    must refuse the fused_gate + gene_shard combination loudly instead of
+    compiling a broken (or silently all-gathering) mesh layout."""
+    from scldm_tpu.training.vae_task import _algebraic_tail
+
+    vae = _build()
+    batch = _lean_batch(np.random.default_rng(0))
+    task = VAETask(vae, num_training_steps=10, algebraic_tail=True)
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    x = jnp.zeros((B, vae.encoder.n_inducing_points, vae.decoder.n_embed))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _algebraic_tail(
+            vae, state.params, x, batch["library_size"],
+            fused_gate=True, gene_shard=lambda t, a: t,
+        )
