@@ -40,10 +40,11 @@ def main():
     p.add_argument("--algebraic-decode", action="store_true",
                    help="generation decode via the reassociated cross+head "
                         "tail (training.vae_task.algebraic_decode)")
-    p.add_argument("--gen-batch", type=int, default=0,
-                   help="generation batch size (pre-CFG-doubling); 0 = the "
-                        "training batch. Serving throughput scales with this "
-                        "until the decode saturates the chip")
+    p.add_argument("--gen-batch", type=int, nargs="+", default=[0],
+                   help="generation batch size(s) (pre-CFG-doubling); 0 = "
+                        "the training batch. Serving throughput scales with "
+                        "this until the decode saturates the chip; several "
+                        "values sweep within one process (one jit each)")
     p.add_argument("--steps", type=int, default=250,
                    help="euler ODE steps for the generation pass")
     args = p.parse_args()
@@ -115,35 +116,35 @@ def main():
     from scldm_tpu.ops.transforms import canonical_gene_ids
 
     genes = canonical_gene_ids(n_genes)
-    GEN_BATCH = args.gen_batch or BATCH
-    gen_clusters = np.resize(batch["clusters"], GEN_BATCH)
-    cond = {"clusters": jnp.asarray(gen_clusters)}
-    counts, z = fn(state, jax.random.PRNGKey(2), genes, cond)
-    _ = float(counts.ravel()[0])
-    t0 = time.perf_counter()
-    reps = 3
-    for i in range(reps):
-        counts, z = fn(state, jax.random.PRNGKey(3 + i), genes, cond)
-    _ = float(counts.ravel()[0])
-    dt = time.perf_counter() - t0
-    cells_per_sec = 2 * GEN_BATCH * reps / dt  # doubled batch: uncond + cond
-    denoiser_steps_per_sec = num_steps * reps / dt
     if args.algebraic_decode:
         tag = f"{tag}alg_"  # generation metrics only — training is unaffected
-    if args.gen_batch:
-        tag = f"{tag}b{GEN_BATCH}_"
-    print(json.dumps({
-        "metric": f"{tag}cfg_generation_cells_per_sec",
-        "value": round(cells_per_sec, 1),
-        "unit": f"cells/s (euler-{num_steps})",
-        "vs_baseline": None,
-    }))
-    print(json.dumps({
-        "metric": f"{tag}sampler_denoiser_steps_per_sec",
-        "value": round(denoiser_steps_per_sec, 1),
-        "unit": f"steps/s (euler-{num_steps}, batch {2 * GEN_BATCH} CFG)",
-        "vs_baseline": None,
-    }))
+    for gb in args.gen_batch:
+        GEN_BATCH = gb or BATCH
+        gen_clusters = np.resize(batch["clusters"], GEN_BATCH)
+        cond = {"clusters": jnp.asarray(gen_clusters)}
+        counts, z = fn(state, jax.random.PRNGKey(2), genes, cond)
+        _ = float(counts.ravel()[0])
+        t0 = time.perf_counter()
+        reps = 3
+        for i in range(reps):
+            counts, z = fn(state, jax.random.PRNGKey(3 + i), genes, cond)
+        _ = float(counts.ravel()[0])
+        dt = time.perf_counter() - t0
+        cells_per_sec = 2 * GEN_BATCH * reps / dt  # doubled: uncond + cond
+        denoiser_steps_per_sec = num_steps * reps / dt
+        btag = f"{tag}b{GEN_BATCH}_" if gb else tag
+        print(json.dumps({
+            "metric": f"{btag}cfg_generation_cells_per_sec",
+            "value": round(cells_per_sec, 1),
+            "unit": f"cells/s (euler-{num_steps})",
+            "vs_baseline": None,
+        }), flush=True)
+        print(json.dumps({
+            "metric": f"{btag}sampler_denoiser_steps_per_sec",
+            "value": round(denoiser_steps_per_sec, 1),
+            "unit": f"steps/s (euler-{num_steps}, batch {2 * GEN_BATCH} CFG)",
+            "vs_baseline": None,
+        }), flush=True)
 
 
 if __name__ == "__main__":
