@@ -32,7 +32,7 @@ def synth_batch(rng, batch, n_genes, seq_len, nnz_range):
     return _canonical(rng, batch, n_genes, seq_len, nnz_range=nnz_range)
 
 
-def run_point(config: str, batch_size: int, steps: int) -> dict:
+def run_point(config: str, batch_size: int, steps: int, tail: str = "auto") -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -42,7 +42,15 @@ def run_point(config: str, batch_size: int, steps: int) -> dict:
 
     cfg = SHAPES[config]
     vae = build_transformer_vae(n_genes=cfg["n_genes"], dtype=jnp.bfloat16)
-    task = VAETask(vae, num_training_steps=10_000)
+    # decoder-tail dispatch A/B (the B>MAX_FUSED_BATCH fallback study):
+    # auto = production dispatch; the forced variants isolate one path each
+    tail_kw = {
+        "auto": {},
+        "fused": dict(fused_decoder=True, algebraic_tail=False),
+        "algebraic": dict(fused_decoder=False, algebraic_tail=True),
+        "module": dict(fused_decoder=False, algebraic_tail=False),
+    }[tail]
+    task = VAETask(vae, num_training_steps=10_000, **tail_kw)
     batch = synth_batch(
         np.random.default_rng(0), batch_size, cfg["n_genes"], cfg["seq_len"], cfg["nnz"]
     )
@@ -61,6 +69,7 @@ def run_point(config: str, batch_size: int, steps: int) -> dict:
     return {
         "config": config,
         "batch": batch_size,
+        "tail": tail,
         "ms_per_step": round(best * 1e3, 2),
         "cells_per_sec": round(batch_size / best, 1),
         "platform": jax.default_backend(),
@@ -73,11 +82,15 @@ def main():
                     choices=list(SHAPES))
     ap.add_argument("--batches", nargs="+", type=int, default=[128, 256, 512])
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--tail", default="auto",
+                    choices=["auto", "fused", "algebraic", "module"],
+                    help="force one decoder-tail dispatch path (A/B for the "
+                         "B>MAX_FUSED_BATCH fallback study)")
     args = ap.parse_args()
     for config in args.configs:
         base = None
         for b in args.batches:
-            r = run_point(config, b, args.steps)
+            r = run_point(config, b, args.steps, tail=args.tail)
             base = base or r["cells_per_sec"]
             r["throughput_vs_first"] = round(r["cells_per_sec"] / base, 2)
             print(json.dumps(r), flush=True)

@@ -11,7 +11,7 @@ HBM. This sweep records ms for both paths at growing self-attention lengths
 docs/performance.md can carry a measured crossover table instead of the
 round-3 "may pay off" claim.
 
-Run: python -m benchmarks.bench_flash_crossover [--lens 2048 4096 8192 16384 32768]
+Run: python -m benchmarks.bench_flash_crossover [--lens 1024 2048 4096 8192 16384 32768]
 """
 
 from __future__ import annotations
@@ -48,7 +48,7 @@ def best_ms(fn, q, k, v, reps=3, n=6):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lens", nargs="+", type=int,
-                    default=[2048, 4096, 8192, 16384, 32768])
+                    default=[1024, 2048, 4096, 8192, 16384, 32768])
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 

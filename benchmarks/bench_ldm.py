@@ -38,8 +38,11 @@ def main():
                    help="census-scale pair: E=512/128M VAE tokenizer + the "
                         "reference DiT width over its 64-token latent")
     p.add_argument("--algebraic-decode", action="store_true",
-                   help="generation decode via the reassociated cross+head "
-                        "tail (training.vae_task.algebraic_decode)")
+                   help="force the generation decode onto the reassociated "
+                        "cross+head tail (training.vae_task.algebraic_decode)")
+    p.add_argument("--no-algebraic-decode", action="store_true",
+                   help="force the module decode (A/B baseline; the default "
+                        "auto-enables the reassociated tail at n_embed > 128)")
     p.add_argument("--gen-batch", type=int, nargs="+", default=[0],
                    help="generation batch size(s) (pre-CFG-doubling); 0 = "
                         "the training batch. Serving throughput scales with "
@@ -75,9 +78,13 @@ def main():
         n_embed=256, n_embed_input=dit_in, n_layer=8, n_head=8, seq_len=dit_tokens,
         class_vocab_sizes={"clusters": 14}, cfg_dropout_prob=0.8, dtype=jnp.bfloat16,
     )
+    alg_decode = (
+        True if args.algebraic_decode
+        else (False if args.no_algebraic_decode else None)  # None = task auto
+    )
     task = LDMTask(vae, vstate.params, dit, create_transport(),
                    num_training_steps=1000,
-                   algebraic_decode=args.algebraic_decode)
+                   algebraic_decode=alg_decode)
     state = task.init_state(jax.random.PRNGKey(1), batch)
     dev_batch = jax.tree_util.tree_map(jnp.asarray, batch)
     stacked = jax.tree_util.tree_map(lambda x: jnp.stack([x] * K), dev_batch)
@@ -116,7 +123,7 @@ def main():
     from scldm_tpu.ops.transforms import canonical_gene_ids
 
     genes = canonical_gene_ids(n_genes)
-    if args.algebraic_decode:
+    if task.algebraic_decode:
         tag = f"{tag}alg_"  # generation metrics only — training is unaffected
     for gb in args.gen_batch:
         GEN_BATCH = gb or BATCH

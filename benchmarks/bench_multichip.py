@@ -37,6 +37,16 @@ CONFIGS = {
         model=dict(n_embed=512, n_embed_latent=64, n_layer=12,
                    n_inducing_points=128, n_head=8, n_head_cross=8),
     ),
+    # the REAL census shape (the 128M-param VAE bench_census measures
+    # single-chip): the docs/scaling.md predictions are written against this
+    # config — run it on real multi-chip hardware to falsify them; use
+    # --compile-only on the virtual mesh to validate every mesh point compiles
+    "census_full": dict(
+        n_genes=36_601, seq_len=4_096, batch=32,
+        model=dict(n_embed=512, n_embed_latent=64, n_layer=16,
+                   n_inducing_points=64, n_head=8, n_head_cross=8,
+                   multiple_of=64),
+    ),
     # CPU-sized config for validating every mesh point without TPU hardware
     "tiny": dict(
         n_genes=256, seq_len=96, batch=8,
@@ -54,7 +64,8 @@ def synth_batch(rng, batch, n_genes, seq_len):
 
 
 def run_point(
-    config_name: str, n_data: int, n_model: int, steps: int, gene_sp: bool = False
+    config_name: str, n_data: int, n_model: int, steps: int,
+    gene_sp: bool = False, fsdp: bool = False, compile_only: bool = False,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -72,16 +83,37 @@ def run_point(
     vae = build_transformer_vae(
         n_genes=cfg["n_genes"], dtype=jnp.bfloat16, **cfg["model"]
     )
-    task = VAETask(vae, num_training_steps=10_000, mesh=mesh, gene_sp=gene_sp)
+    task = VAETask(
+        vae, num_training_steps=10_000, mesh=mesh, gene_sp=gene_sp, fsdp=fsdp
+    )
     global_batch = cfg["batch"] * n_data  # per-device batch held constant (weak scaling)
     batch = synth_batch(np.random.default_rng(0), global_batch, cfg["n_genes"], cfg["seq_len"])
     state = task.init_state(jax.random.PRNGKey(0), batch)
 
-    stacked = jax.tree_util.tree_map(lambda x: np.stack([x] * steps), batch)
+    suffix = ("_gene_sp" if gene_sp else "") + ("_fsdp" if fsdp else "")
+    stacked = jax.tree_util.tree_map(
+        lambda x: np.stack([x] * (1 if compile_only else steps)), batch
+    )
     if mesh is not None:
         stacked = shard_stacked_batch(stacked, mesh)
     else:
         stacked = jax.tree_util.tree_map(jnp.asarray, stacked)
+
+    if compile_only:
+        # validate the partitioned program lowers + compiles at this mesh
+        # point without paying for execution (the virtual-mesh check for the
+        # real census shape, whose CPU execution would take minutes/step)
+        t0 = time.perf_counter()
+        task._train_steps.lower(state, stacked).compile()
+        return {
+            "config": config_name + suffix,
+            "mesh": [n_data, n_model],
+            "devices": n_dev,
+            "global_batch": global_batch,
+            "compiled": True,
+            "compile_s": round(time.perf_counter() - t0, 1),
+            "platform": jax.default_backend(),
+        }
 
     state, metrics = task.train_steps(state, stacked)  # compile + warm
     assert np.isfinite(float(metrics["train_loss"]))
@@ -92,7 +124,7 @@ def run_point(
         _ = float(metrics["train_loss"])  # scalar-fetch device sync
         best = min(best, (time.perf_counter() - t0) / steps)
     return {
-        "config": config_name + ("_gene_sp" if gene_sp else ""),
+        "config": config_name + suffix,
         "mesh": [n_data, n_model],
         "devices": n_dev,
         "global_batch": global_batch,
@@ -205,6 +237,10 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=10, help="steps fused per dispatch")
     ap.add_argument("--generation", action="store_true",
                     help="also sweep DP CFG-generation throughput")
+    ap.add_argument("--compile-only", action="store_true",
+                    help="lower+compile each mesh point without executing "
+                         "(virtual-mesh validation for census_full, whose "
+                         "CPU execution is minutes/step)")
     ap.add_argument("--gen-steps", type=int, default=16,
                     help="denoiser steps for the generation sweep")
     ap.add_argument("--max-devices", type=int, default=None)
@@ -230,6 +266,8 @@ def main(argv=None):
                  "--steps", str(args.steps), "--gen-steps", str(args.gen_steps)]
         if args.generation:
             child += ["--generation"]
+        if args.compile_only:
+            child += ["--compile-only"]
         if args.max_devices:
             child += ["--max-devices", str(args.max_devices)]
         raise SystemExit(subprocess.run(
@@ -243,29 +281,44 @@ def main(argv=None):
         n_avail = min(n_avail, args.max_devices)
     sweep = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail]
 
+    co = args.compile_only
     results = []
     for config in args.configs:
         base = None
-        for d in sweep:
-            r = run_point(config, n_data=d, n_model=1, steps=args.steps)
-            base = base or r["cells_per_sec"]
-            r["scaling_vs_1dev"] = round(r["cells_per_sec"] / base, 2)
+        # compile-only validation covers exactly the docs/scaling.md mesh
+        # points (full DP, DP x gene-SP, full FSDP) instead of the timing sweep
+        dp_points = [max(sweep)] if co else sweep
+        for d in dp_points:
+            r = run_point(config, n_data=d, n_model=1, steps=args.steps,
+                          compile_only=co)
+            if not co:
+                base = base or r["cells_per_sec"]
+                r["scaling_vs_1dev"] = round(r["cells_per_sec"] / base, 2)
             results.append(r)
             print(json.dumps(r), flush=True)
         # census also exercises DP x TP (Megatron column/row rules over
-        # "model") and DP x gene-SP (decode gene axis over "model" — halves
+        # "model"), DP x gene-SP (decode gene axis over "model" — halves
         # the activation-gated census step's per-chip temps with param-sized
-        # instead of activation-sized collectives)
-        if config in ("census", "tiny") and n_avail >= 4:
-            for sp in (False, True):
+        # instead of activation-sized collectives), and full FSDP/ZeRO-3
+        if config in ("census", "census_full", "tiny") and n_avail >= 4:
+            sp_points = [True] if co else [False, True]
+            for sp in sp_points:
                 r = run_point(
                     config, n_data=n_avail // 2, n_model=2, steps=args.steps,
-                    gene_sp=sp,
+                    gene_sp=sp, compile_only=co,
                 )
-                r["scaling_vs_1dev"] = round(r["cells_per_sec"] / base, 2)
+                if not co:
+                    r["scaling_vs_1dev"] = round(r["cells_per_sec"] / base, 2)
                 results.append(r)
                 print(json.dumps(r), flush=True)
-        if args.generation:
+        if config in ("census", "census_full", "tiny") and n_avail >= 2:
+            r = run_point(config, n_data=n_avail, n_model=1, steps=args.steps,
+                          fsdp=True, compile_only=co)
+            if not co:
+                r["scaling_vs_1dev"] = round(r["cells_per_sec"] / base, 2)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+        if args.generation and not co:
             gbase = None
             for d in sweep:
                 r = run_generation_point(config, n_data=d, num_steps=args.gen_steps)

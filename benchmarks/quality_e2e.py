@@ -26,7 +26,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
 def make_synthetic_dataset(rng, n_cells: int, n_genes: int, n_clusters: int = 8):
-    """Cluster-structured NB counts: each cluster has its own log-mean program."""
+    """Cluster-structured NB counts: each cluster has its own log-mean program.
+
+    Also returns the TRUE per-cell NB mean `mu` so callers can compute the
+    same-budget oracle floor for reconstruction metrics (a model that knew mu
+    exactly can do no better in expectation than an independent NB redraw)."""
     cluster_ids = rng.integers(0, n_clusters, n_cells)
     base = rng.normal(-2.0, 1.0, size=(n_genes,))
     programs = rng.normal(0.0, 1.6, size=(n_clusters, n_genes)) * (
@@ -40,7 +44,7 @@ def make_synthetic_dataset(rng, n_cells: int, n_genes: int, n_clusters: int = 8)
     theta = 2.0
     lam = rng.gamma(theta, mu / theta)
     counts = rng.poisson(lam).astype(np.float32)
-    return counts, cluster_ids
+    return counts, cluster_ids, mu
 
 
 def make_perturbation_dataset(rng, n_cells: int, n_genes: int, n_types=4, n_perts=6):
@@ -90,7 +94,7 @@ def main():
     from scldm_tpu.transport import create_transport
 
     rng = np.random.default_rng(0)
-    counts, clusters = make_synthetic_dataset(rng, args.cells, args.genes)
+    counts, clusters, mu_true = make_synthetic_dataset(rng, args.cells, args.genes)
     n_clusters = int(clusters.max()) + 1
     genes_row = np.arange(1, args.genes + 1, dtype=np.int64)
 
@@ -132,7 +136,33 @@ def main():
     vae_time = time.time() - t0
     val = vae_task.eval_step(state, val_b[0], jax.random.PRNGKey(1))
     vae_metrics = {k: float(v) for k, v in val.items()}
-    print("VAE:", json.dumps(vae_metrics), f"({vae_time:.0f}s)", flush=True)
+
+    # same-budget oracle floor for the reconstruction metrics (VERDICT r4
+    # weak #5: val_pcc reported bare has no way to tell budget-limited from
+    # broken): a model that knew the TRUE per-cell NB mean can do no better
+    # in expectation than an independent NB redraw from mu on the SAME val
+    # cells, pushed through the identical log1p-CPM scaling + metric —
+    # mirrors the MMD/W2 real-vs-real floor mechanics below.
+    from scldm_tpu.training import metrics as M
+
+    def _scale(x):
+        return np.log1p(x / np.maximum(x.sum(1, keepdims=True), 1.0) * 1e4)
+
+    lo = n_train * args.batch
+    val_rows = slice(lo, lo + args.batch)  # the exact rows eval_step saw
+    lam2 = rng.gamma(2.0, mu_true[val_rows] / 2.0)
+    redraw = rng.poisson(lam2).astype(np.float32)
+    oracle_s = jnp.asarray(_scale(redraw))
+    true_s = jnp.asarray(_scale(counts[val_rows]))
+    vae_floor = {
+        "val_pcc": float(M.nanmean(M.pearson_corrcoef(oracle_s, true_s))),
+        "val_mse": float(M.mse(oracle_s, true_s)),
+        "val_zeros_accuracy": float(
+            M.zeros_accuracy(jnp.asarray(redraw), jnp.asarray(counts[val_rows]))
+        ),
+    }
+    print("VAE:", json.dumps(vae_metrics), f"({vae_time:.0f}s)",
+          "floor:", json.dumps(vae_floor), flush=True)
 
     # ---- stage 2: LDM on frozen VAE -----------------------------------------
     dit = DiT(
@@ -204,7 +234,11 @@ def main():
             "vae_train_seconds": round(vae_time, 1),
             "ldm_train_seconds": round(ldm_time, 1),
         },
-        "vae": vae_metrics, "ldm_loss_first": losses[0], "ldm_loss_last": losses[-1],
+        "vae": vae_metrics,
+        # oracle reconstruction floor: floor/val_pcc is the PCC an exact-mu
+        # model would score on these val cells under NB sampling noise
+        **{f"floor/{k}": v for k, v in vae_floor.items()},
+        "ldm_loss_first": losses[0], "ldm_loss_last": losses[-1],
     }
     rs, gs, cs, r2s = scale(real), scale(gen), scale(cond_gen), scale(real2)
     for name, fn in MMD_METRICS.items():

@@ -53,6 +53,39 @@ ITEMS = {
     # batch-size scaling study (VERDICT r2 item 7) — harness shipped round 3
     # but the relay died before a TPU run could populate the table
     "batch_scaling": [sys.executable, "-m", "benchmarks.bench_batch_scaling"],
+    # --- round-5 queue (VERDICT r4 items 1 + 2) ------------------------------
+    # census CFG serving A/B around the algebraic-decode default flip: the
+    # recorded 144 cells/s predates the two-dot tail and ran the module decode
+    "ldm_census_module": [
+        sys.executable, "-m", "benchmarks.bench_ldm", "--census",
+        "--no-algebraic-decode",
+    ],
+    # post-flip serving sweep (auto algebraic decode) over generation batches
+    "ldm_census_sweep": [
+        sys.executable, "-m", "benchmarks.bench_ldm", "--census",
+        "--gen-batch", "0", "32", "64",
+    ],
+    # default-shape serving sweep (dentate VAE decode, module path at E=32)
+    "ldm_gen_sweep": [
+        sys.executable, "-m", "benchmarks.bench_ldm",
+        "--gen-batch", "0", "256", "512",
+    ],
+    # dentate B>128 superlinearity: per-path A/B at the big batches
+    "batch_scaling_algebraic": [
+        sys.executable, "-m", "benchmarks.bench_batch_scaling",
+        "--configs", "dentate", "--batches", "128", "256", "512",
+        "--tail", "algebraic",
+    ],
+    "batch_scaling_module": [
+        sys.executable, "-m", "benchmarks.bench_batch_scaling",
+        "--configs", "dentate", "--batches", "256", "512",
+        "--tail", "module",
+    ],
+    # the 1024-2047 flash dispatch range was extrapolated (ADVICE r4)
+    "flash_1024": [
+        sys.executable, "-m", "benchmarks.bench_flash_crossover",
+        "--lens", "1024", "2048",
+    ],
 }
 CORE = ["bench", "flash_compiled", "census", "census_algebraic", "census_algebraic_b32"]
 

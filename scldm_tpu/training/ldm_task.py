@@ -151,8 +151,15 @@ class LDMTask:
         # Plain XLA: under gene_sp (or a pipeline-owned decode layout) it
         # COMPOSES with the gene-axis sharding — the query-table constraint
         # gene-shards the whole reassociated tail (round 4).
+        # None auto-resolves exactly like VAETask(algebraic_tail=None): ON at
+        # wide embeds (n_embed > 128), where the reassociation is the measured
+        # training win and the fused Pallas tail is width-ineligible. At
+        # E <= 128 generation keeps the module decode (the fused-DiT denoise
+        # loop dominates there anyway).
         from scldm_tpu.training.vae_task import _algebraic_path_ok
 
+        if algebraic_decode is None:
+            algebraic_decode = vae.decoder.n_embed > 128
         self.algebraic_decode = bool(algebraic_decode) and _algebraic_path_ok(vae)
         self.ema_cfg = dict(
             beta=ema_decay,

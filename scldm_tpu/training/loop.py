@@ -177,6 +177,11 @@ def fit(
         nonlocal last_logged, t_last, cells_seen
         if not force and step - last_logged < log_every_steps:
             return
+        if step == last_logged:
+            # a forced flush landing on a step the cadence already logged
+            # (max_steps coinciding with log_every_steps) has nothing new to
+            # inspect and would emit a 0-cells/near-zero-window noise row
+            return
         last_logged = step
         metrics = {k: float(v) for k, v in metrics.items()}
         if not np.isfinite(metrics.get("train_loss", 0.0)):
@@ -184,7 +189,8 @@ def fit(
                 f"non-finite train_loss at step {step}: {metrics['train_loss']}"
             )
         now = time.perf_counter()
-        metrics["cells_per_sec"] = cells_seen / (now - t_last)
+        if cells_seen:
+            metrics["cells_per_sec"] = cells_seen / (now - t_last)
         t_last, cells_seen = now, 0
         metrics.update(step=step, epoch=epoch)
         logger.info(
@@ -196,6 +202,8 @@ def fit(
         if wandb_logger:
             wandb_logger.log(metrics, step=step)
 
+    metrics: Optional[Dict] = None
+    epoch = start_epoch
     for epoch in range(start_epoch, epochs):
         if step >= max_steps or preempted:
             break
@@ -297,6 +305,13 @@ def fit(
         if ckpt_manager is not None and (epoch + 1) % save_every_epochs == 0:
             ckpt_manager.save(step, state, metrics=val_metrics or None)
 
+    # final flush: a run ending on a full stacked dispatch that exactly
+    # consumes max_steps (or a stream drying up between log cadences) must
+    # still pass its last metrics through the non-finite guard + loggers
+    # before the final checkpoint write. No-op when the cadence already
+    # logged this step, or on zero-step runs (metrics never bound).
+    if metrics is not None:
+        flush_log(metrics, epoch, force=True)
     profiler.close()  # run shorter than 1+profile_steps dispatches
     if ckpt_manager is not None:
         ckpt_manager.save(step, state)

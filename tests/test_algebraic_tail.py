@@ -186,6 +186,35 @@ def test_bf16_model_runs_finite():
     assert np.isfinite(float(mets["train_loss"]))
 
 
+def test_algebraic_decode_auto_resolves_like_vae_task():
+    """LDMTask(algebraic_decode=None) mirrors VAETask(algebraic_tail=None):
+    auto-on at wide embeds (n_embed > 128, the measured serving win), off at
+    narrow ones where the fused Pallas paths own the dispatch (round-5 fix —
+    the census CFG serving number previously ran the stale module decode)."""
+    from scldm_tpu.nn.nnets import DiT
+    from scldm_tpu.training.ldm_task import LDMTask
+    from scldm_tpu.transport import create_transport
+
+    dit = DiT(n_embed=32, n_embed_input=16, n_layer=2, n_head=4, seq_len=8)
+    wide = _build(n_embed=256, n_head=8, n_head_cross=8, multiple_of=64)
+    narrow = _build()
+    kwargs = dict(num_training_steps=10)
+    assert LDMTask(wide, {}, dit, create_transport(), **kwargs).algebraic_decode
+    assert not LDMTask(narrow, {}, dit, create_transport(), **kwargs).algebraic_decode
+    # explicit settings still override the auto in both directions
+    assert not LDMTask(
+        wide, {}, dit, create_transport(), algebraic_decode=False, **kwargs
+    ).algebraic_decode
+    assert LDMTask(
+        narrow, {}, dit, create_transport(), algebraic_decode=True, **kwargs
+    ).algebraic_decode
+    # ineligible architectures never enable, auto or forced
+    assert not LDMTask(
+        _build(n_embed=256, bias=True), {}, dit, create_transport(),
+        algebraic_decode=True, **kwargs
+    ).algebraic_decode
+
+
 def test_generation_algebraic_decode_parity():
     """LDMTask(algebraic_decode=True): the generation program's decode tail
     reassociated — identical latents, (near-)identical NB counts vs the
