@@ -47,6 +47,9 @@ def run_point(config: str, batch_size: int, steps: int, tail: str = "auto") -> d
     tail_kw = {
         "auto": {},
         "fused": dict(fused_decoder=True, algebraic_tail=False),
+        "fused_chunked": dict(
+            fused_decoder=True, algebraic_tail=False, fused_batch_chunk=128
+        ),
         "algebraic": dict(fused_decoder=False, algebraic_tail=True),
         "module": dict(fused_decoder=False, algebraic_tail=False),
     }[tail]
@@ -83,7 +86,7 @@ def main():
     ap.add_argument("--batches", nargs="+", type=int, default=[128, 256, 512])
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--tail", default="auto",
-                    choices=["auto", "fused", "algebraic", "module"],
+                    choices=["auto", "fused", "fused_chunked", "algebraic", "module"],
                     help="force one decoder-tail dispatch path (A/B for the "
                          "B>MAX_FUSED_BATCH fallback study)")
     args = ap.parse_args()

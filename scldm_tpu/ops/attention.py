@@ -28,9 +28,9 @@ import jax.numpy as jnp
 # length — 1.36x at S=2048, 1.28x at 4096, 1.46x at 8192, 1.63x at 16384 —
 # and is the only path at S=32768, where XLA's f32 scores want 17 GB HBM.
 # (Round 3's "kernel loses 37.4 vs 35.7 ms" was single-dispatch timing: the
-# tunneled host's dispatch RTT swamped the ~8 ms kernel.) S=1024 is in the
-# sweep defaults since round 5; until a chip run records it the 1024-2047
-# range is an extrapolation of the monotone-in-S win above it.
+# tunneled host's dispatch RTT swamped the ~8 ms kernel.) The S=1024 dispatch
+# floor itself was measured round 5: flash 4.41 vs XLA 4.65 ms (1.05x) —
+# a narrow but real win, so the threshold stays supported end to end.
 _FLASH_MIN_SEQ = 1024
 
 

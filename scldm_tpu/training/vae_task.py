@@ -225,6 +225,7 @@ def fused_nb_apply(
     interpret: bool = False,
     use_trunk: Optional[bool] = False,  # opt-in (kernel measured a net loss, ROADMAP #1)
     bwd_tiles: Optional[Tuple[int, int]] = None,  # (bwd_block_g, bwd_block_b) override for tuning
+    batch_chunk: Optional[int] = None,  # split the tail kernel over batch slices of this size
 ) -> Tuple[Dict[str, jax.Array], jax.Array]:
     """VAE forward with (a) the encoder input-embedding + MCAB pooling and
     (b) the decoder cross block + NB-head logit as fused Pallas kernels
@@ -319,12 +320,32 @@ def fused_nb_apply(
     # benchmarks/tune_fused_tail.py sweeps
     from scldm_tpu.ops.fused_decoder import default_bwd_tiles
 
-    if bwd_tiles is None:
-        bwd_tiles = default_bwd_tiles(vae.decoder.n_genes, kfull.shape[0])
-    logits = fused_decoder_tail(
-        qp, q, kfull, vproj, weights, n_head, eps, interpret=interpret,
-        bwd_block_g=bwd_tiles[0], bwd_block_b=bwd_tiles[1],
-    )  # (B, G) f32
+    B = kfull.shape[0]
+    if batch_chunk and B > batch_chunk:
+        # batch-chunked dispatch: N independent kernel launches over batch
+        # slices. qp/q/weights are batch-free, so each chunk reuses them and
+        # autodiff sums their weight grads through the concat; each chunk
+        # runs at the chunk size's OWN best tiles instead of the compile-safe
+        # (512, 8) forced at B > 128 — the round-5 fix for the dentate
+        # B > 128 superlinear step time (and it lifts MAX_FUSED_BATCH: B=512
+        # = 4 x 128-chunks where the monolithic backward fails to compile).
+        tiles = bwd_tiles or default_bwd_tiles(vae.decoder.n_genes, batch_chunk)
+        parts = []
+        for lo in range(0, B, batch_chunk):
+            hi = min(B, lo + batch_chunk)
+            parts.append(fused_decoder_tail(
+                qp, q, kfull[lo:hi], vproj[lo:hi], weights, n_head, eps,
+                interpret=interpret,
+                bwd_block_g=tiles[0], bwd_block_b=tiles[1],
+            ))
+        logits = jnp.concatenate(parts, axis=0)  # (B, G) f32
+    else:
+        if bwd_tiles is None:
+            bwd_tiles = default_bwd_tiles(vae.decoder.n_genes, B)
+        logits = fused_decoder_tail(
+            qp, q, kfull, vproj, weights, n_head, eps, interpret=interpret,
+            bwd_block_g=bwd_tiles[0], bwd_block_b=bwd_tiles[1],
+        )  # (B, G) f32
 
     theta = jnp.exp(head["theta"]["embedding"][1:, 0].astype(jnp.float32))  # (G,)
     t = vae.decoder_head.t
@@ -649,6 +670,7 @@ class VAETask:
         decay_type: str = "sqrt",
         calculate_grad_norms: bool = False,
         fused_decoder: Optional[bool] = None,  # None = auto (TPU & eligible arch)
+        fused_batch_chunk: Optional[int] = None,  # split the tail kernel over batch slices
         fused_trunk: Optional[bool] = None,  # opt-in only (measured loss at reference shapes)
         fused_pool: Optional[bool] = None,  # opt-in: window-kernel MCAB pooling (census widths)
         algebraic_tail: Optional[bool] = None,  # opt-in: XLA-reassociated cross+head (census widths)
@@ -670,6 +692,11 @@ class VAETask:
             fused_trunk = False
             fused_pool = False
         self.fused_decoder = fused_decoder and _fused_path_ok(vae)
+        # batch-chunked tail dispatch (round 5): N kernel launches over batch
+        # slices, each at the chunk size's own best bwd tiles — lifts the
+        # MAX_FUSED_BATCH compile ceiling and avoids the compile-safe (512,8)
+        # tiles forced at B>128 (the dentate B>128 superlinearity)
+        self.fused_batch_chunk = int(fused_batch_chunk) if fused_batch_chunk else None
         # default OFF: measured 41.6 vs 40.5 ms/step at dentate shapes even
         # with the single-launch chained backward — XLA's saved-activation
         # backward wins when (B, 16, 32) activations are this small. Kept as
@@ -901,12 +928,13 @@ class VAETask:
         (ops/fused_decoder.MAX_FUSED_BATCH, measured compile ceiling)."""
         from scldm_tpu.ops.fused_decoder import MAX_FUSED_BATCH
 
-        return (
-            self.fused_decoder
-            and COUNTS not in batch
-            and C_SUB in batch
-            and batch[C_SUB].shape[0] <= MAX_FUSED_BATCH
-        )
+        if not (self.fused_decoder and COUNTS not in batch and C_SUB in batch):
+            return False
+        b = batch[C_SUB].shape[0]
+        if self.fused_batch_chunk:
+            # chunked dispatch compiles at the CHUNK size, not the batch size
+            return min(self.fused_batch_chunk, b) <= MAX_FUSED_BATCH
+        return b <= MAX_FUSED_BATCH
 
     def _use_algebraic(self, batch: Dict) -> bool:
         """Static gate for the XLA-reassociated cross+head path: eligible
@@ -932,6 +960,7 @@ class VAETask:
                 out, _ = fused_nb_apply(
                     self.vae, params, batch, train=True, rng=rng_d,
                     use_trunk=self.fused_trunk,
+                    batch_chunk=self.fused_batch_chunk,
                 )
             elif use_algebraic:
                 out, _ = algebraic_nb_apply(

@@ -149,6 +149,57 @@ def test_fused_apply_loss_and_grads_close(small_vae_setup):
         assert float(jnp.abs(b - a).max()) < 0.08 * scale, name
 
 
+def test_batch_chunked_matches_single_call(small_vae_setup):
+    """batch_chunk splits the tail kernel over batch slices (round 5 — the
+    B>128 superlinearity fix): the chunked forward must equal the single-call
+    forward exactly (same kernel, same tiles, disjoint batch rows), and the
+    gradients must agree (weight grads sum through the concat)."""
+    vae, task, state, batch = small_vae_setup
+
+    def loss(p, chunk):
+        out, _ = fused_nb_apply(
+            vae, p, batch, train=False, interpret=True, batch_chunk=chunk
+        )
+        return vae_loss(batch["counts"], out, False)
+
+    out1, _ = jax.jit(lambda p: fused_nb_apply(
+        vae, p, batch, train=False, interpret=True))(state.params)
+    out3, _ = jax.jit(lambda p: fused_nb_apply(
+        vae, p, batch, train=False, interpret=True, batch_chunk=3))(state.params)
+    np.testing.assert_allclose(
+        np.asarray(out3["mu"]), np.asarray(out1["mu"]), rtol=1e-5, atol=1e-6
+    )
+    l1, g1 = jax.jit(jax.value_and_grad(lambda p: loss(p, None)))(state.params)
+    l3, g3 = jax.jit(jax.value_and_grad(lambda p: loss(p, 3)))(state.params)
+    np.testing.assert_allclose(float(l3), float(l1), rtol=1e-6)
+    # weight grads sum over batch in a different order (per-chunk kernel
+    # backwards + concat-VJP) — fp reassociation, not a math difference;
+    # bar set well under the 2-8% kernel-vs-module tolerances above
+    for a, b in zip(jax.tree_util.tree_leaves(g3), jax.tree_util.tree_leaves(g1)):
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert float(jnp.abs(a - b).max()) < 5e-3 * scale + 1e-6
+
+
+def test_chunked_dispatch_gates():
+    """fused_batch_chunk lifts the MAX_FUSED_BATCH batch gate (compile cost
+    is per chunk), and the VAETask plumbs the chunk into the fused call."""
+    from scldm_tpu.ops.fused_decoder import MAX_FUSED_BATCH
+
+    vae = build_transformer_vae(n_genes=40)
+    task = VAETask(vae, num_training_steps=10, fused_decoder=True,
+                   fused_batch_chunk=128)
+    big = {
+        "genes_subset": jnp.zeros((MAX_FUSED_BATCH + 1, 4), jnp.int32),
+        "counts_subset": jnp.zeros((MAX_FUSED_BATCH + 1, 4), jnp.float32),
+    }
+    assert task.fused_batch_chunk == 128
+    assert task._use_fused(big)
+    # a chunk larger than the compile ceiling still refuses
+    task2 = VAETask(vae, num_training_steps=10, fused_decoder=True,
+                    fused_batch_chunk=MAX_FUSED_BATCH + 1)
+    assert not task2._use_fused(big)
+
+
 def test_gaussian_head_not_eligible():
     vae = build_transformer_vae(n_genes=40, decoder_head="gaussian")
     assert not _fused_path_ok(vae)
