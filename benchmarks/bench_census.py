@@ -73,8 +73,13 @@ def main():
                         "contraction as one recompute-VJP Pallas kernel — the "
                         "(B,G,2Hd)/(B,G,Hd) saved-bwd residents (the B=32 "
                         "OOM) never touch HBM; implies --algebraic-tail")
+    p.add_argument("--vw-fold", action="store_true",
+                   help="+ fold the attention output projection into v "
+                        "(probs @ (v @ wo)): removes the bandwidth-bound "
+                        "(B*G,E)@(E,E) GEMM and the K=64 probs@v einsum "
+                        "(VERDICT r4 item 8); implies --algebraic-tail")
     args = p.parse_args()
-    if args.fused_gate:
+    if args.fused_gate or args.vw_fold:
         args.algebraic_tail = True
 
     from scldm_tpu.nn.vae import build_transformer_vae
@@ -91,7 +96,8 @@ def main():
     )
     task = VAETask(vae, num_training_steps=10_000, learning_rate=3e-4,
                    fused_pool=args.fused_pool, algebraic_tail=args.algebraic_tail,
-                   algebraic_fused_gate=args.fused_gate)
+                   algebraic_fused_gate=args.fused_gate,
+                   algebraic_vw_fold=args.vw_fold)
     batch = synth_batch(np.random.default_rng(0), args.batch, args.genes, args.seq_len)
     state = task.init_state(jax.random.PRNGKey(0), batch)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
@@ -120,7 +126,7 @@ def main():
         # than the analytic module model; tflops/mfu below stay normalized to
         # the module FLOPs (model-FLOPs utilization — "effective" rate at
         # doing the reference's work), so runs are comparable across modes.
-        (f"census_vae_train_cells_per_sec_b{args.batch}_remat_{args.remat}_cross_{args.remat_cross}_ck{args.cross_chunks}{'_alg' if args.algebraic_tail else ''}{'_fg' if args.fused_gate else ''}", args.batch / best_dt, "cells/s"),
+        (f"census_vae_train_cells_per_sec_b{args.batch}_remat_{args.remat}_cross_{args.remat_cross}_ck{args.cross_chunks}{'_alg' if args.algebraic_tail else ''}{'_fg' if args.fused_gate else ''}{'_vw' if args.vw_fold else ''}", args.batch / best_dt, "cells/s"),
         ("census_vae_step_ms", best_dt * 1e3, "ms"),
         ("census_vae_tflops", tflops, "TFLOP/s"),
         ("census_vae_mfu", tflops / V5E_BF16_PEAK_TFLOPS, "fraction"),

@@ -81,6 +81,13 @@ ITEMS = {
         "--configs", "dentate", "--batches", "256", "512",
         "--tail", "module",
     ],
+    # batch-chunked fused tail (round-5 candidate fix): each 128-chunk runs
+    # at its own best bwd tiles instead of the compile-safe (512,8) monolith
+    "batch_scaling_chunked": [
+        sys.executable, "-m", "benchmarks.bench_batch_scaling",
+        "--configs", "dentate", "--batches", "128", "256", "512",
+        "--tail", "fused_chunked",
+    ],
     # the 1024-2047 flash dispatch range was extrapolated (ADVICE r4)
     "flash_1024": [
         sys.executable, "-m", "benchmarks.bench_flash_crossover",

@@ -373,6 +373,7 @@ def algebraic_nb_apply(
     fused_gate: bool = False,  # swiglu_vec Pallas tail (single-device only)
     interpret: bool = False,
     gene_shard=None,  # VAETask._gene_shard-style (x, axis) constraint for gene-SP
+    vw_fold: bool = False,  # fold c_proj into v: probs @ (v @ wo), see _algebraic_tail
 ) -> Tuple[Dict[str, jax.Array], jax.Array]:
     """VAE forward with the decoder cross block + NB head REASSOCIATED in
     plain XLA: the SwiGLU down projection's only consumer is the head's mu
@@ -407,7 +408,7 @@ def algebraic_nb_apply(
     return (
         _algebraic_tail(
             vae, params, x, batch[LIB], fused_gate=fused_gate,
-            interpret=interpret, gene_shard=gene_shard,
+            interpret=interpret, gene_shard=gene_shard, vw_fold=vw_fold,
         ),
         h_z,
     )
@@ -421,6 +422,7 @@ def _algebraic_tail(
     fused_gate: bool = False,  # SwiGLU+head-vector as one Pallas kernel (single-device only)
     interpret: bool = False,
     gene_shard=None,  # (x, gene_axis) -> x constrained over the mesh "model" axis
+    vw_fold: bool = False,  # reassociate probs @ (v @ wo) — see inline note
 ) -> Dict[str, jax.Array]:
     """The reassociated cross block + NB head over the canonical gene table
     (the differentiable back half of `algebraic_nb_apply`; also the decode
@@ -459,13 +461,38 @@ def _algebraic_tail(
     k, v = jnp.split(kv, 2, axis=-1)
     B, M = k.shape[0], k.shape[1]
     G = qp.shape[0]
-    attn = sdpa_shared_q if gene_shard is None else sdpa_shared_q_xla
-    y = attn(
-        qp.reshape(G, n_head, hd),
-        k.reshape(B, M, n_head, hd),
-        v.reshape(B, M, n_head, hd),
-    ).reshape(B, G, E)
-    y = y @ ca["attn"]["c_proj"]["kernel"].astype(dt)
+    wo = ca["attn"]["c_proj"]["kernel"].astype(dt)  # (E, E)
+    if vw_fold:
+        # Fold the attention output projection into v (VERDICT r4 item 8):
+        # y @ wo = sum_h probs_h @ (v_h @ wo_h), so precompute
+        # vw[b,h,s,:] = v[b,s,h,:] @ wo[h*hd:(h+1)*hd, :] (tiny: 2·B·M·E²
+        # FLOPs ≈ 1 GFLOP at census B=32) and contract probs against it in
+        # ONE batched GEMM with K = H·M. This eliminates BOTH members of the
+        # step's weakest matmul class — the (B·G, E)@(E, E) output projection
+        # (67 TFLOP/s, bandwidth-bound at N=512) and the K=hd=64 probs@v
+        # einsum — plus the (B, G, E) attention-output HBM round trip between
+        # them. Same accumulation-reassociation family as wv = wmlp @ wmu.
+        # GSPMD-compatible: everything shards on the gene/query axis (m).
+        qh = qp.reshape(G, n_head, hd)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        scores = jnp.einsum(
+            "mhd,bshd->bhms", qh, k.reshape(B, M, n_head, hd),
+            preferred_element_type=jnp.float32,
+        )
+        probs = jax.nn.softmax(scores * scale, axis=-1).astype(dt)
+        vw = jnp.einsum(
+            "bshd,hde->bhse",
+            v.reshape(B, M, n_head, hd), wo.reshape(n_head, hd, E),
+        )  # (B, H, M, E) — batch-dependent folded values, ~17 MB at census
+        y = jnp.einsum("bhms,bhse->bme", probs, vw)  # (B, G, E), K = H·M
+    else:
+        attn = sdpa_shared_q if gene_shard is None else sdpa_shared_q_xla
+        y = attn(
+            qp.reshape(G, n_head, hd),
+            k.reshape(B, M, n_head, hd),
+            v.reshape(B, M, n_head, hd),
+        ).reshape(B, G, E)
+        y = y @ wo
 
     h = q32.astype(dt)[None] + y  # residual connects to the raw queries
     hn = _ln_affine(h.astype(jnp.float32), ca["ln_2"]["LayerNorm_0"], eps).astype(dt)
@@ -531,6 +558,7 @@ def algebraic_decode(
     library_size: jax.Array,  # (B, 1)
     fused_gate: bool = False,  # swiglu_vec Pallas tail (single-device only)
     gene_shard=None,  # (x, gene_axis) -> x constraint for gene-SP decode
+    vw_fold: bool = False,  # fold c_proj into v (see _algebraic_tail)
 ) -> Dict[str, jax.Array]:
     """`TransformerVAE.decode` over the canonical gene list with the
     reassociated cross+head tail — the generation decode's hot path
@@ -540,7 +568,8 @@ def algebraic_decode(
         method=lambda m, zz: m.decoder(zz, None, trunk_only=True),
     )
     return _algebraic_tail(
-        vae, params, x, library_size, fused_gate=fused_gate, gene_shard=gene_shard
+        vae, params, x, library_size, fused_gate=fused_gate,
+        gene_shard=gene_shard, vw_fold=vw_fold,
     )
 
 
@@ -675,6 +704,7 @@ class VAETask:
         fused_pool: Optional[bool] = None,  # opt-in: window-kernel MCAB pooling (census widths)
         algebraic_tail: Optional[bool] = None,  # opt-in: XLA-reassociated cross+head (census widths)
         algebraic_fused_gate: bool = False,  # + swiglu_vec Pallas tail (single-device; opt-in pending TPU sign)
+        algebraic_vw_fold: bool = False,  # fold c_proj into v: probs @ (v @ wo) (opt-in pending TPU sign)
         mesh: Optional[Mesh] = None,
         fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
         gene_sp: bool = False,  # decode-side gene (sequence) parallelism over "model"
@@ -724,6 +754,11 @@ class VAETask:
         self.algebraic_fused_gate = (
             bool(algebraic_fused_gate) and self.algebraic_tail and mesh is None
         )
+        # output-projection fold (VERDICT r4 item 8): plain-XLA reassociation,
+        # GSPMD-shardable like the tail itself; mutually exclusive with the
+        # fused_gate kernel only in the sense that both touch the same tail —
+        # they compose fine (fold changes the attention, gate the MLP)
+        self.algebraic_vw_fold = bool(algebraic_vw_fold) and self.algebraic_tail
         self._pool_interpret = False  # tests: run the pool kernel in interpret mode
         self.mesh = mesh
         # gene/sequence parallelism: shard the decoder's GENE axis over the
@@ -967,6 +1002,7 @@ class VAETask:
                     self.vae, params, batch, train=True, rng=rng_d,
                     fused_gate=self.algebraic_fused_gate,
                     gene_shard=self._gene_shard if self.gene_sp else None,
+                    vw_fold=self.algebraic_vw_fold,
                 )
             else:
                 out, _ = self._apply(params, batch, train=True, rng=rng_d)
@@ -1023,6 +1059,7 @@ class VAETask:
                 self.vae, params, batch, train=False,
                 fused_gate=self.algebraic_fused_gate,
                 gene_shard=self._gene_shard if self.gene_sp else None,
+                vw_fold=self.algebraic_vw_fold,
             )
         else:
             out, _ = self._apply(params, batch, train=False)

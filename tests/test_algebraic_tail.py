@@ -129,6 +129,73 @@ def test_fused_gate_matches_plain_algebraic(setup):
         )
 
 
+def test_vw_fold_matches_plain_algebraic(setup):
+    """vw_fold=True (fold the attention output projection into v:
+    y @ wo == sum_h probs_h @ (v_h @ wo_h)) must reproduce the plain
+    algebraic tail in outputs AND gradients — the same floats with the
+    contraction order reassociated (VERDICT r4 item 8)."""
+    vae, task, batch, state = setup
+    mat = task._materialize(batch)
+
+    def loss(p, fold):
+        out, _ = algebraic_nb_apply(vae, p, batch, train=False, vw_fold=fold)
+        return vae_loss(mat["counts"], out, False)
+
+    l_plain, g_plain = jax.value_and_grad(lambda p: loss(p, False))(state.params)
+    l_fold, g_fold = jax.value_and_grad(lambda p: loss(p, True))(state.params)
+    np.testing.assert_allclose(l_fold, l_plain, rtol=1e-5)
+    flat_plain = jax.tree_util.tree_leaves_with_path(g_plain)
+    flat_fold = jax.tree_util.tree_leaves(g_fold)
+    for (path, gp), gf in zip(flat_plain, flat_fold):
+        np.testing.assert_allclose(
+            gf, gp, rtol=5e-3, atol=1e-4, err_msg=jax.tree_util.keystr(path)
+        )
+
+
+def test_vw_fold_task_dispatch_and_gene_sp():
+    """VAETask(algebraic_vw_fold=True) trains to the same loss as the plain
+    algebraic task, and the fold composes with gene-SP (it is pure einsums
+    sharded on the gene/query axis; the folded vw values replicate)."""
+    from scldm_tpu.parallel.mesh import make_mesh, shard_batch
+
+    vae = _build()
+    batch = _lean_batch(np.random.default_rng(5), batch=8)
+    t_plain = VAETask(vae, num_training_steps=100, algebraic_tail=True)
+    t_fold = VAETask(
+        vae, num_training_steps=100, algebraic_tail=True, algebraic_vw_fold=True
+    )
+    assert t_fold.algebraic_vw_fold
+    # the flag is subordinate to the tail itself
+    assert not VAETask(
+        vae, num_training_steps=10, algebraic_tail=False, algebraic_vw_fold=True
+    ).algebraic_vw_fold
+    s_p = t_plain.init_state(jax.random.PRNGKey(0), batch)
+    s_f = t_fold.init_state(jax.random.PRNGKey(0), batch)
+    s_p, m_p = t_plain.train_step(s_p, batch)
+    s_f, m_f = t_fold.train_step(s_f, batch)
+    np.testing.assert_allclose(
+        float(m_f["train_loss"]), float(m_p["train_loss"]), rtol=1e-5
+    )
+    e_p = t_plain.eval_step(s_p, batch, jax.random.PRNGKey(7))
+    e_f = t_fold.eval_step(s_f, batch, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(
+        float(e_f["val_loss"]), float(e_p["val_loss"]), rtol=1e-4
+    )
+
+    if len(jax.devices()) >= 4:
+        mesh = make_mesh(n_data=2, n_model=2)
+        t_sp = VAETask(
+            vae, num_training_steps=100, algebraic_tail=True,
+            algebraic_vw_fold=True, mesh=mesh, gene_sp=True,
+        )
+        assert t_sp.algebraic_vw_fold and t_sp.gene_sp
+        s_sp = t_sp.init_state(jax.random.PRNGKey(0), batch)
+        s_sp, m_sp = t_sp.train_step(s_sp, shard_batch(batch, mesh))
+        np.testing.assert_allclose(
+            float(m_sp["train_loss"]), float(m_p["train_loss"]), rtol=1e-4
+        )
+
+
 def test_auto_default_follows_width():
     """algebraic_tail=None (the default) auto-enables only at wide embeds
     (n_embed > 128), where the round-4 TPU measurement showed +13% and the
