@@ -143,6 +143,29 @@ def main():
 
     full = dispatch_ms(run_full)
 
+    # upstream segments (round 5): ALL tail variants show the same ~2.27x
+    # step time at B=256 (REVALIDATION batch_scaling_*), so the superlinear
+    # segment is in the shared front half — embedding gather, its backward
+    # scatter-add into the (G+1, E) table, or the MCAB pool over S=6147
+    def embed_fwd(params, b):
+        emb = vae.apply(
+            params, b["counts_subset"], b["genes_subset"],
+            method=lambda m, c, g: m.input_layer(c, g),
+        )
+        return (jnp.sum(emb.astype(jnp.float32)),)
+
+    def embed_enc_fwd(params, b):
+        emb = vae.apply(
+            params, b["counts_subset"], b["genes_subset"],
+            method=lambda m, c, g: m.input_layer(c, g),
+        )
+        h_z = vae.apply(
+            params, emb, method=lambda m, e: m.encoder(e, train=False)
+        )
+        return (jnp.sum(h_z.astype(jnp.float32)),)
+
+    embed_scatter = jax.grad(lambda p, b: embed_fwd(p, b)[0])
+
     rows = [
         ("train_step(K)", full),
         ("fwd_only", dispatch_ms(scan_over(fwd), state.params, stacked)),
@@ -153,6 +176,14 @@ def main():
         ),
         ("nb_loss_only", dispatch_ms(scan_over(nb_loss), state.params, stacked_mu)),
         ("nb_loss_grad", dispatch_ms(scan_over(nb_loss_grad), state.params, stacked_mu)),
+        ("embed_fwd", dispatch_ms(scan_over(embed_fwd), state.params, stacked)),
+        ("embed_enc_fwd", dispatch_ms(scan_over(embed_enc_fwd), state.params, stacked)),
+        (
+            "embed_scatter_bwd",
+            dispatch_ms(
+                scan_over(lambda p, b: (embed_scatter(p, b),)), state.params, stacked
+            ),
+        ),
     ]
     for name, ms in rows:
         per = (ms - overhead) / K

@@ -724,9 +724,14 @@ class VAETask:
         self.fused_decoder = fused_decoder and _fused_path_ok(vae)
         # batch-chunked tail dispatch (round 5): N kernel launches over batch
         # slices, each at the chunk size's own best bwd tiles — lifts the
-        # MAX_FUSED_BATCH compile ceiling and avoids the compile-safe (512,8)
-        # tiles forced at B>128 (the dentate B>128 superlinearity)
-        self.fused_batch_chunk = int(fused_batch_chunk) if fused_batch_chunk else None
+        # MAX_FUSED_BATCH compile ceiling. None = auto (see _chunk_for: keep
+        # the monolithic kernel with its batch-aware tiles while it compiles,
+        # 128-row chunks above the ceiling — measured 182 vs 235 ms/step at
+        # dentate B=512, faster than BOTH the module and algebraic fallbacks);
+        # 0 = explicitly off; int = forced chunk size.
+        self.fused_batch_chunk = (
+            fused_batch_chunk if fused_batch_chunk is None else int(fused_batch_chunk)
+        )
         # default OFF: measured 41.6 vs 40.5 ms/step at dentate shapes even
         # with the single-launch chained backward — XLA's saved-activation
         # backward wins when (B, 16, 32) activations are this small. Kept as
@@ -966,10 +971,25 @@ class VAETask:
         if not (self.fused_decoder and COUNTS not in batch and C_SUB in batch):
             return False
         b = batch[C_SUB].shape[0]
-        if self.fused_batch_chunk:
+        chunk = self._chunk_for(b)
+        if chunk:
             # chunked dispatch compiles at the CHUNK size, not the batch size
-            return min(self.fused_batch_chunk, b) <= MAX_FUSED_BATCH
+            return min(chunk, b) <= MAX_FUSED_BATCH
         return b <= MAX_FUSED_BATCH
+
+    def _chunk_for(self, b: int) -> Optional[int]:
+        """Resolve the tail kernel's batch-chunk size for a batch of B rows.
+        Explicit settings win (0 = off); auto keeps the monolithic kernel —
+        whose batch-aware bwd tiles are the measured optimum at B <= 256
+        (parse1m B=256 +19%, round 4) — while it can compile, and dispatches
+        128-row chunks above MAX_FUSED_BATCH, where the alternative was the
+        module fallback (measured: chunked 182.0 vs module 235.1 vs algebraic
+        222.0 ms/step at dentate B=512, round 5)."""
+        from scldm_tpu.ops.fused_decoder import MAX_FUSED_BATCH
+
+        if self.fused_batch_chunk is not None:
+            return self.fused_batch_chunk or None
+        return 128 if b > MAX_FUSED_BATCH else None
 
     def _use_algebraic(self, batch: Dict) -> bool:
         """Static gate for the XLA-reassociated cross+head path: eligible
@@ -995,7 +1015,7 @@ class VAETask:
                 out, _ = fused_nb_apply(
                     self.vae, params, batch, train=True, rng=rng_d,
                     use_trunk=self.fused_trunk,
-                    batch_chunk=self.fused_batch_chunk,
+                    batch_chunk=self._chunk_for(batch[C_SUB].shape[0]),
                 )
             elif use_algebraic:
                 out, _ = algebraic_nb_apply(

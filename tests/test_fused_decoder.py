@@ -207,10 +207,12 @@ def test_gaussian_head_not_eligible():
     assert not task.fused_decoder  # forced flag still gated by eligibility
 
 
-def test_large_batch_falls_back_to_module_path():
-    """B > MAX_FUSED_BATCH routes to the module path: the backward kernel's
-    scoped-VMEM stack exceeds the compile limit at B=512 on v5e (measured,
-    see ops/fused_decoder.MAX_FUSED_BATCH)."""
+def test_large_batch_auto_chunks_instead_of_module_fallback():
+    """B > MAX_FUSED_BATCH: the auto default now dispatches 128-row chunks
+    (round-5 measurement: 182.0 ms/step vs the module fallback's 235.1 at
+    dentate B=512) instead of abandoning the kernel; B <= MAX_FUSED_BATCH
+    keeps the monolithic kernel with its batch-aware bwd tiles; explicitly
+    disabling chunking (fused_batch_chunk=0) restores the module fallback."""
     from scldm_tpu.ops.fused_decoder import MAX_FUSED_BATCH
 
     vae = build_transformer_vae(n_genes=40)
@@ -225,5 +227,12 @@ def test_large_batch_falls_back_to_module_path():
         "counts_subset": jnp.zeros((MAX_FUSED_BATCH + 1, 4), jnp.float32),
     }
     assert task._use_fused(small)
-    assert not task._use_fused(big)
+    assert task._chunk_for(MAX_FUSED_BATCH) is None  # monolith while it compiles
+    assert task._use_fused(big)  # auto-chunked, no longer a module fallback
+    assert task._chunk_for(MAX_FUSED_BATCH + 1) == 128
     assert not task._use_fused({**small, "counts": jnp.zeros((8, 40))})
+
+    off = VAETask(vae, num_training_steps=10, fused_decoder=True,
+                  fused_batch_chunk=0)
+    assert not off._use_fused(big)  # explicit off: the old module fallback
+    assert off._use_fused(small)
