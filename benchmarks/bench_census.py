@@ -73,11 +73,14 @@ def main():
                         "contraction as one recompute-VJP Pallas kernel — the "
                         "(B,G,2Hd)/(B,G,Hd) saved-bwd residents (the B=32 "
                         "OOM) never touch HBM; implies --algebraic-tail")
-    p.add_argument("--vw-fold", action="store_true",
-                   help="+ fold the attention output projection into v "
+    p.add_argument("--vw-fold", dest="vw_fold", action="store_true", default=None,
+                   help="force the attention-output-projection fold "
                         "(probs @ (v @ wo)): removes the bandwidth-bound "
                         "(B*G,E)@(E,E) GEMM and the K=64 probs@v einsum "
-                        "(VERDICT r4 item 8); implies --algebraic-tail")
+                        "(VERDICT r4 item 8); implies --algebraic-tail. "
+                        "Default: auto (ON with the algebraic tail)")
+    p.add_argument("--no-vw-fold", dest="vw_fold", action="store_false",
+                   help="force the fold OFF (A/B baseline)")
     args = p.parse_args()
     if args.fused_gate or args.vw_fold:
         args.algebraic_tail = True
@@ -126,7 +129,7 @@ def main():
         # than the analytic module model; tflops/mfu below stay normalized to
         # the module FLOPs (model-FLOPs utilization — "effective" rate at
         # doing the reference's work), so runs are comparable across modes.
-        (f"census_vae_train_cells_per_sec_b{args.batch}_remat_{args.remat}_cross_{args.remat_cross}_ck{args.cross_chunks}{'_alg' if args.algebraic_tail else ''}{'_fg' if args.fused_gate else ''}{'_vw' if args.vw_fold else ''}", args.batch / best_dt, "cells/s"),
+        (f"census_vae_train_cells_per_sec_b{args.batch}_remat_{args.remat}_cross_{args.remat_cross}_ck{args.cross_chunks}{'_alg' if args.algebraic_tail else ''}{'_fg' if args.fused_gate else ''}{'_vw' if task.algebraic_vw_fold else ''}", args.batch / best_dt, "cells/s"),
         ("census_vae_step_ms", best_dt * 1e3, "ms"),
         ("census_vae_tflops", tflops, "TFLOP/s"),
         ("census_vae_mfu", tflops / V5E_BF16_PEAK_TFLOPS, "fraction"),

@@ -46,18 +46,33 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--genes", type=int, default=36_601)
+    p.add_argument("--vw-fold", action="store_true",
+                   help="inventory for the folded formulation (round 5, the "
+                        "default): the shared-weight (R,E)@(E,E) out-proj "
+                        "fwd/dgrad become BATCHED (B,G,H*M)@(B,H*M,E) GEMMs "
+                        "(probs @ vw and its dgrad) and d_vw joins the K=R "
+                        "weight-grad family")
     args = p.parse_args()
     R = args.batch * args.genes  # rows through the decoder cross/MLP/head
     E, HD = 512, 1408  # vae_census.yaml width / SwiGLU hidden
 
     # (name, lhs shape, rhs shape, fwd+bwd multiplicity in one train step)
     # multiplicity: fwd=1; bwd adds dgrad (same shape class) + wgrad (K=R).
-    cases = [
-        ("mlp_up", (R, E), (E, 2 * HD), 2.0),   # w1+w2 fwd, + dgrads in bwd
-        ("mlp_down", (R, HD), (HD, E), 2.0),
-        ("proj_EE", (R, E), (E, E), 4.0),       # attn out-proj + head-ish E x E
-        ("wgrad", (E, R), (R, HD), 3.0),        # all K=R weight grads
-    ]
+    if args.vw_fold:
+        cases = [
+            ("mlp_up", (R, E), (E, 2 * HD), 2.0),
+            ("mlp_down", (R, HD), (HD, E), 2.0),
+            # the fold leaves no R-row shared-weight E x E GEMM; the fwd
+            # einsum probs @ vw and its dgrad run as batched GEMMs (below)
+            ("wgrad", (E, R), (R, HD), 4.0),    # + d_vw (K=G per batch elem)
+        ]
+    else:
+        cases = [
+            ("mlp_up", (R, E), (E, 2 * HD), 2.0),   # w1+w2 fwd, + dgrads in bwd
+            ("mlp_down", (R, HD), (HD, E), 2.0),
+            ("proj_EE", (R, E), (E, E), 4.0),       # attn out-proj + head-ish E x E
+            ("wgrad", (E, R), (R, HD), 3.0),        # all K=R weight grads
+        ]
     plain = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
 
     total_fl, total_t = 0.0, 0.0
@@ -71,6 +86,31 @@ def main():
         total_t += mult * dt
         print(json.dumps({
             "metric": f"matmul_{name}_tflops", "value": round(fl / dt / 1e12, 1),
+            "unit": "TFLOP/s", "vs_baseline": None,
+        }))
+
+    if args.vw_fold:
+        # batched (B, G, H*M) @ (B, H*M, E) — probs @ vw fwd + its dgrad
+        bmm = jax.jit(lambda a, b: jnp.einsum(
+            "bgk,bke->bge", a, b, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16))
+        ka, kb = jax.random.split(jax.random.PRNGKey(2))
+        a = jax.random.normal(ka, (args.batch, args.genes, E), jnp.bfloat16)
+        b = jax.random.normal(kb, (args.batch, E, E), jnp.bfloat16)
+        float(bmm(a, b)[0, 0, 0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(9):
+                bmm(a, b)
+            float(bmm(a, b)[0, 0, 0])
+            best = min(best, (time.perf_counter() - t0) / 10)
+        fl = 2 * args.batch * args.genes * E * E
+        total_fl += 2.0 * fl
+        total_t += 2.0 * best
+        print(json.dumps({
+            "metric": "matmul_attn_bmm_fold_tflops",
+            "value": round(fl / best / 1e12, 1),
             "unit": "TFLOP/s", "vs_baseline": None,
         }))
 

@@ -75,6 +75,7 @@ class LDMTask:
         pipeline_microbatches: Optional[int] = None,  # GPipe DiT trunk over "model"
         gene_sp: bool = False,  # decode gene (sequence) parallelism over "model"
         algebraic_decode: Optional[bool] = None,  # opt-in: reassociated decode tail
+        algebraic_vw_fold: Optional[bool] = None,  # fold c_proj into v; None = on with the decode
     ):
         self.calculate_grad_norms = calculate_grad_norms
         self.fsdp = fsdp
@@ -161,6 +162,12 @@ class LDMTask:
         if algebraic_decode is None:
             algebraic_decode = vae.decoder.n_embed > 128
         self.algebraic_decode = bool(algebraic_decode) and _algebraic_path_ok(vae)
+        # output-projection fold: rides the reassociated decode by default
+        # (round-5 census training A/B: +6.8% at B=32; the decode tail is the
+        # same program forward-only)
+        if algebraic_vw_fold is None:
+            algebraic_vw_fold = self.algebraic_decode
+        self.algebraic_vw_fold = bool(algebraic_vw_fold) and self.algebraic_decode
         self.ema_cfg = dict(
             beta=ema_decay,
             update_every=ema_update_every,
@@ -536,6 +543,7 @@ class LDMTask:
                 out = _alg_decode(
                     self.vae, vae_params, samples, sf_cfg,
                     gene_shard=_gene_shard if tp else None,
+                    vw_fold=self.algebraic_vw_fold,
                 )
             else:
                 out = self.vae.apply(

@@ -704,7 +704,7 @@ class VAETask:
         fused_pool: Optional[bool] = None,  # opt-in: window-kernel MCAB pooling (census widths)
         algebraic_tail: Optional[bool] = None,  # opt-in: XLA-reassociated cross+head (census widths)
         algebraic_fused_gate: bool = False,  # + swiglu_vec Pallas tail (single-device; opt-in pending TPU sign)
-        algebraic_vw_fold: bool = False,  # fold c_proj into v: probs @ (v @ wo) (opt-in pending TPU sign)
+        algebraic_vw_fold: Optional[bool] = None,  # fold c_proj into v; None = on with the algebraic tail
         mesh: Optional[Mesh] = None,
         fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
         gene_sp: bool = False,  # decode-side gene (sequence) parallelism over "model"
@@ -760,9 +760,13 @@ class VAETask:
             bool(algebraic_fused_gate) and self.algebraic_tail and mesh is None
         )
         # output-projection fold (VERDICT r4 item 8): plain-XLA reassociation,
-        # GSPMD-shardable like the tail itself; mutually exclusive with the
-        # fused_gate kernel only in the sense that both touch the same tail —
-        # they compose fine (fold changes the attention, gate the MLP)
+        # GSPMD-shardable like the tail itself, composes with fused_gate
+        # (fold changes the attention, gate the MLP). Default ON wherever the
+        # algebraic tail runs since the round-5 TPU A/B: census B=32
+        # 194.7 -> 182.2 ms/step (+6.8%, MFU 55.1% -> 58.9%, the census
+        # record), B=16 102.8 -> 98.1 ms.
+        if algebraic_vw_fold is None:
+            algebraic_vw_fold = self.algebraic_tail
         self.algebraic_vw_fold = bool(algebraic_vw_fold) and self.algebraic_tail
         self._pool_interpret = False  # tests: run the pool kernel in interpret mode
         self.mesh = mesh

@@ -160,11 +160,18 @@ def test_vw_fold_task_dispatch_and_gene_sp():
 
     vae = _build()
     batch = _lean_batch(np.random.default_rng(5), batch=8)
-    t_plain = VAETask(vae, num_training_steps=100, algebraic_tail=True)
+    t_plain = VAETask(
+        vae, num_training_steps=100, algebraic_tail=True, algebraic_vw_fold=False
+    )
     t_fold = VAETask(
         vae, num_training_steps=100, algebraic_tail=True, algebraic_vw_fold=True
     )
-    assert t_fold.algebraic_vw_fold
+    assert t_fold.algebraic_vw_fold and not t_plain.algebraic_vw_fold
+    # default (None): the fold rides the algebraic tail (round-5 TPU A/B:
+    # census B=32 194.7 -> 182.2 ms/step, the new record)
+    assert VAETask(
+        vae, num_training_steps=10, algebraic_tail=True
+    ).algebraic_vw_fold
     # the flag is subordinate to the tail itself
     assert not VAETask(
         vae, num_training_steps=10, algebraic_tail=False, algebraic_vw_fold=True
