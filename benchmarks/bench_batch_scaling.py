@@ -32,7 +32,10 @@ def synth_batch(rng, batch, n_genes, seq_len, nnz_range):
     return _canonical(rng, batch, n_genes, seq_len, nnz_range=nnz_range)
 
 
-def run_point(config: str, batch_size: int, steps: int, tail: str = "auto") -> dict:
+def run_point(
+    config: str, batch_size: int, steps: int, tail: str = "auto",
+    lean_loss: bool = False,
+) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -53,7 +56,7 @@ def run_point(config: str, batch_size: int, steps: int, tail: str = "auto") -> d
         "algebraic": dict(fused_decoder=False, algebraic_tail=True),
         "module": dict(fused_decoder=False, algebraic_tail=False),
     }[tail]
-    task = VAETask(vae, num_training_steps=10_000, **tail_kw)
+    task = VAETask(vae, num_training_steps=10_000, lean_loss=lean_loss, **tail_kw)
     batch = synth_batch(
         np.random.default_rng(0), batch_size, cfg["n_genes"], cfg["seq_len"], cfg["nnz"]
     )
@@ -73,6 +76,7 @@ def run_point(config: str, batch_size: int, steps: int, tail: str = "auto") -> d
         "config": config,
         "batch": batch_size,
         "tail": tail,
+        "lean_loss": lean_loss,
         "ms_per_step": round(best * 1e3, 2),
         "cells_per_sec": round(batch_size / best, 1),
         "platform": jax.default_backend(),
@@ -89,11 +93,16 @@ def main():
                     choices=["auto", "fused", "fused_chunked", "algebraic", "module"],
                     help="force one decoder-tail dispatch path (A/B for the "
                          "B>MAX_FUSED_BATCH fallback study)")
+    ap.add_argument("--lean-loss", action="store_true",
+                    help="densify-free NB train loss (vae_loss_lean): skips "
+                         "the 7.5-33 ms densify scatter; its gather backward "
+                         "scatters instead — the A/B this flag exists for")
     args = ap.parse_args()
     for config in args.configs:
         base = None
         for b in args.batches:
-            r = run_point(config, b, args.steps, tail=args.tail)
+            r = run_point(config, b, args.steps, tail=args.tail,
+                          lean_loss=args.lean_loss)
             base = base or r["cells_per_sec"]
             r["throughput_vs_first"] = round(r["cells_per_sec"] / base, 2)
             print(json.dumps(r), flush=True)

@@ -62,12 +62,17 @@ def main():
     p.add_argument("--fused-pool", action="store_true",
                    help="route the encoder MCAB pooling through the flash "
                         "window kernel (ops/fused_encoder.fused_window_pool)")
-    p.add_argument("--algebraic-tail", action="store_true",
+    p.add_argument("--algebraic-tail", dest="algebraic_tail",
+                   action="store_true", default=None,
                    help="XLA-reassociated decoder cross block + NB head "
                         "(training.vae_task.algebraic_nb_apply): the SwiGLU "
                         "down projection contracts with the head mu vector, "
                         "dropping ~2.5 TFLOP and the (B,G,E) temporaries "
-                        "from the step")
+                        "from the step. Default: auto (ON at census width "
+                        "since round 5 — the production dispatch)")
+    p.add_argument("--no-algebraic-tail", dest="algebraic_tail",
+                   action="store_false",
+                   help="force the module path (A/B baseline)")
     p.add_argument("--fused-gate", action="store_true",
                    help="+ ops/fused_swiglu.swiglu_vec: SwiGLU + head-vector "
                         "contraction as one recompute-VJP Pallas kernel — the "
@@ -129,7 +134,7 @@ def main():
         # than the analytic module model; tflops/mfu below stay normalized to
         # the module FLOPs (model-FLOPs utilization — "effective" rate at
         # doing the reference's work), so runs are comparable across modes.
-        (f"census_vae_train_cells_per_sec_b{args.batch}_remat_{args.remat}_cross_{args.remat_cross}_ck{args.cross_chunks}{'_alg' if args.algebraic_tail else ''}{'_fg' if args.fused_gate else ''}{'_vw' if task.algebraic_vw_fold else ''}", args.batch / best_dt, "cells/s"),
+        (f"census_vae_train_cells_per_sec_b{args.batch}_remat_{args.remat}_cross_{args.remat_cross}_ck{args.cross_chunks}{'_alg' if task.algebraic_tail else ''}{'_fg' if args.fused_gate else ''}{'_vw' if task.algebraic_vw_fold else ''}", args.batch / best_dt, "cells/s"),
         ("census_vae_step_ms", best_dt * 1e3, "ms"),
         ("census_vae_tflops", tflops, "TFLOP/s"),
         ("census_vae_mfu", tflops / V5E_BF16_PEAK_TFLOPS, "fraction"),

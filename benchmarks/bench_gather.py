@@ -71,14 +71,58 @@ def main():
         g = t[idx.reshape(-1)].reshape(B, S, E)
         return jnp.sum((g * jnp.log1p(cnt)[..., None].astype(g.dtype)).astype(jnp.float32))
 
+    # --- densify_expressed formulations (the lean-wire scatter: the fused
+    # AND algebraic steps run it; the dense-batch module program doesn't and
+    # is the only one that scales linearly at B>128) ----------------------
+    def densify_add(genes, cnts):
+        B, S = genes.shape
+        cols = jnp.clip(genes.astype(jnp.int32) - 1, 0, N_GENES - 1)
+        vals = jnp.where(genes > 0, cnts, 0.0)
+        rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, S))
+        dense = jnp.zeros((B, N_GENES), cnts.dtype)
+        return jnp.sum(dense.at[rows, cols].add(vals))
+
+    def densify_set_trash(genes, cnts):
+        # padding (token 0) routes to a trash column; real gene ids are
+        # unique within a row, so the scatter can be a unique-indices SET
+        B, S = genes.shape
+        cols = jnp.where(genes > 0, genes.astype(jnp.int32) - 1, N_GENES)
+        rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, S))
+        dense = jnp.zeros((B, N_GENES + 1), cnts.dtype)
+        dense = dense.at[rows, cols].max(cnts, unique_indices=False)
+        return jnp.sum(dense[:, :N_GENES])
+
+    def densify_chunk(genes, cnts):
+        B, S = genes.shape
+        parts = []
+        for lo in range(0, B, 128):
+            g, c = genes[lo : lo + 128], cnts[lo : lo + 128]
+            cols = jnp.clip(g.astype(jnp.int32) - 1, 0, N_GENES - 1)
+            vals = jnp.where(g > 0, c, 0.0)
+            rows = jnp.broadcast_to(
+                jnp.arange(g.shape[0], dtype=jnp.int32)[:, None], g.shape
+            )
+            dense = jnp.zeros((g.shape[0], N_GENES), c.dtype)
+            parts.append(dense.at[rows, cols].add(vals))
+        return jnp.sum(jnp.concatenate(parts, 0))
+
     for B in args.batches:
         idx = jnp.asarray(rng.integers(0, N_GENES + 1, (B, SEQ_LEN)).astype(np.int32))
         cnt = jnp.asarray((rng.poisson(3.0, (B, SEQ_LEN)) + 1).astype(np.float32))
+        # lean-wire-like subset ids: sorted unique nonzero gene ids + padding
+        gsub = np.zeros((B, SEQ_LEN), np.int32)
+        for i in range(B):
+            nnz = int(rng.integers(1500, 4000))
+            gsub[i, :nnz] = np.sort(rng.choice(N_GENES, nnz, replace=False)) + 1
+        gsub = jnp.asarray(gsub)
         for name, fn, fargs in [
             ("embed2d", jax.jit(embed2d), (tb16, idx)),
             ("flat", jax.jit(flat), (tb16, idx)),
             ("chunk128", jax.jit(chunk128), (tb16, idx)),
             ("flat_mul", jax.jit(flat_mul), (tb16, idx, cnt)),
+            ("densify_add", jax.jit(densify_add), (gsub, cnt)),
+            ("densify_set_trash", jax.jit(densify_set_trash), (gsub, cnt)),
+            ("densify_chunk", jax.jit(densify_chunk), (gsub, cnt)),
         ]:
             ms = _time(fn, fargs) * 1e3
             gb = B * SEQ_LEN * E * 2 / 1e9

@@ -31,8 +31,10 @@ ITEMS = {
     "bench": [sys.executable, "bench.py"],
     # the streaming flash kernel's one real compile (scratch/grid semantics)
     "flash_compiled": [sys.executable, "-m", "benchmarks.check_flash_compiled"],
-    # census MFU re-confirmation at HEAD
-    "census": [sys.executable, "-m", "benchmarks.bench_census"],
+    # census MFU re-confirmation at HEAD (module path — the A/B baseline;
+    # the bare default is now the production auto dispatch: algebraic + vw)
+    "census": [sys.executable, "-m", "benchmarks.bench_census",
+               "--no-algebraic-tail"],
     # XLA-reassociated cross+head (round-3 continuation): drops ~2.5 of the
     # census step's ~9.6 TFLOP; flips to the VAETask default if it wins
     "census_algebraic": [
@@ -92,6 +94,19 @@ ITEMS = {
     "flash_1024": [
         sys.executable, "-m", "benchmarks.bench_flash_crossover",
         "--lens", "1024", "2048",
+    ],
+    # --- round-5 wins, re-runnable at HEAD -----------------------------------
+    # attention-output-projection fold (VERDICT r4 item 8): the new census
+    # records (B=16: 98.1 ms; B=32: 182.2 ms = 58.9% MFU, measured 2026-08-20)
+    "census_vw": [sys.executable, "-m", "benchmarks.bench_census"],
+    "census_vw_b32": [
+        sys.executable, "-m", "benchmarks.bench_census", "--batch", "32",
+    ],
+    # densify-free NB train loss A/B (the 7.5-33 ms lean-wire scatter)
+    "batch_scaling_lean": [
+        sys.executable, "-m", "benchmarks.bench_batch_scaling",
+        "--configs", "dentate", "--batches", "128", "256", "512",
+        "--lean-loss",
     ],
 }
 CORE = ["bench", "flash_compiled", "census", "census_algebraic", "census_algebraic_b32"]

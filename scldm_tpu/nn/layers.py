@@ -15,6 +15,7 @@ CrossAttentionBlock, DiT support layers), re-designed for XLA:
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional
 
 import jax
@@ -149,7 +150,16 @@ class InputTransformerVAE(nn.Module):
 
     def __call__(self, counts: jax.Array, genes: jax.Array) -> jax.Array:
         genes_emb = self.gene_embedding(genes)
-        return self.projection(genes_emb, counts[..., None].astype(genes_emb.dtype))
+        out = self.projection(genes_emb, counts[..., None].astype(genes_emb.dtype))
+        if os.environ.get("SCLDM_EMBED_BARRIER"):
+            # trace-time probe (round 5): pin the fusion boundary after the
+            # count-injected embedding. profile_vae shows the embed segment
+            # alone goes superlinear at B>128 (1.14 -> 7.47 ms for 2x rows at
+            # dentate shapes) while the isolated gather is sublinear
+            # (bench_gather) — i.e. the cost is an XLA fusion/layout choice
+            # in the larger program, which this barrier isolates.
+            out = jax.lax.optimization_barrier(out)
+        return out
 
     def embed_genes(self, genes: jax.Array) -> jax.Array:
         """Gene-embedding lookup only (used by the decoder when shared)."""

@@ -66,6 +66,7 @@ def densify_expressed(
     genes_subset: jax.Array,  # (B, S) gene-token ids, 0 = <MASK> padding
     counts_subset: jax.Array,  # (B, S)
     n_genes: int,
+    batch_chunk: int = 128,
 ) -> jax.Array:
     """Reconstruct the dense (B, n_genes) count matrix on device.
 
@@ -73,13 +74,33 @@ def densify_expressed(
     dense matrix is exactly recoverable by scattering — which means the host
     never needs to transfer the (mostly-zero) dense counts at all (~10x less
     host->device traffic at single-cell sparsity).
+
+    The scatter dispatches over <=128-row slices above that batch: XLA's
+    monolithic 2-D scatter goes superlinear at B>128 while per-chunk scatters
+    keep the B=128 rate (measured, benchmarks/bench_gather.py densify_*:
+    16.9 -> 13.9 ms at B=256, 32.9 -> 26.3 ms at B=512, dentate shapes).
     """
     b, s = genes_subset.shape
-    cols = jnp.clip(genes_subset.astype(jnp.int32) - 1, 0, n_genes - 1)
-    vals = jnp.where(genes_subset > 0, counts_subset, 0.0)
-    rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, s))
-    dense = jnp.zeros((b, n_genes), counts_subset.dtype)
-    return dense.at[rows, cols].add(vals)
+
+    def _scatter(genes, cnts):
+        cols = jnp.clip(genes.astype(jnp.int32) - 1, 0, n_genes - 1)
+        vals = jnp.where(genes > 0, cnts, 0.0)
+        rows = jnp.broadcast_to(
+            jnp.arange(genes.shape[0], dtype=jnp.int32)[:, None], genes.shape
+        )
+        dense = jnp.zeros((genes.shape[0], n_genes), cnts.dtype)
+        return dense.at[rows, cols].add(vals)
+
+    if b <= batch_chunk:
+        return _scatter(genes_subset, counts_subset)
+    return jnp.concatenate(
+        [
+            _scatter(genes_subset[lo : lo + batch_chunk],
+                     counts_subset[lo : lo + batch_chunk])
+            for lo in range(0, b, batch_chunk)
+        ],
+        axis=0,
+    )
 
 
 def full_gene_row(batch: int, n_genes: int) -> jax.Array:

@@ -76,6 +76,7 @@ class LDMTask:
         gene_sp: bool = False,  # decode gene (sequence) parallelism over "model"
         algebraic_decode: Optional[bool] = None,  # opt-in: reassociated decode tail
         algebraic_vw_fold: Optional[bool] = None,  # fold c_proj into v; None = on with the decode
+        algebraic_fused_gate: bool = False,  # swiglu_vec decode tail (big serving batches; single-device)
     ):
         self.calculate_grad_norms = calculate_grad_norms
         self.fsdp = fsdp
@@ -168,6 +169,14 @@ class LDMTask:
         if algebraic_vw_fold is None:
             algebraic_vw_fold = self.algebraic_decode
         self.algebraic_vw_fold = bool(algebraic_vw_fold) and self.algebraic_decode
+        # swiglu_vec decode tail: streams the SwiGLU + head contraction per
+        # row tile so the (2B, G, 2Hd)/(2B, G, Hd) forward temporaries never
+        # exist — the serving-batch memory escape hatch (census gen-batch 64
+        # OOMs those exact tensors in plain XLA). Pallas: single-device only.
+        self.algebraic_fused_gate = (
+            bool(algebraic_fused_gate) and self.algebraic_decode and mesh is None
+        )
+        self._decode_interpret = False  # tests: Pallas decode tail in interpret mode
         self.ema_cfg = dict(
             beta=ema_decay,
             update_every=ema_update_every,
@@ -544,6 +553,8 @@ class LDMTask:
                     self.vae, vae_params, samples, sf_cfg,
                     gene_shard=_gene_shard if tp else None,
                     vw_fold=self.algebraic_vw_fold,
+                    fused_gate=self.algebraic_fused_gate,
+                    interpret=self._decode_interpret,
                 )
             else:
                 out = self.vae.apply(

@@ -559,6 +559,7 @@ def algebraic_decode(
     fused_gate: bool = False,  # swiglu_vec Pallas tail (single-device only)
     gene_shard=None,  # (x, gene_axis) -> x constraint for gene-SP decode
     vw_fold: bool = False,  # fold c_proj into v (see _algebraic_tail)
+    interpret: bool = False,  # run the Pallas tail in interpret mode (tests)
 ) -> Dict[str, jax.Array]:
     """`TransformerVAE.decode` over the canonical gene list with the
     reassociated cross+head tail — the generation decode's hot path
@@ -569,7 +570,7 @@ def algebraic_decode(
     )
     return _algebraic_tail(
         vae, params, x, library_size, fused_gate=fused_gate,
-        gene_shard=gene_shard, vw_fold=vw_fold,
+        gene_shard=gene_shard, vw_fold=vw_fold, interpret=interpret,
     )
 
 
@@ -679,6 +680,50 @@ def vae_loss(
     return recon.sum(axis=1).mean()
 
 
+def vae_loss_lean(
+    genes_subset: jax.Array,  # (B, S) gene-token ids, 0 = <MASK> padding
+    counts_subset: jax.Array,  # (B, S)
+    params: Dict[str, jax.Array],  # mu (B, G), theta (G,) or (B, G)
+    eps: float = 1e-8,
+) -> jax.Array:
+    """The NB reconstruction loss WITHOUT densifying the counts (round 5).
+
+    The lean wire delivers only the expressed (gene, count) pairs; the dense
+    (B, G) count matrix exists solely to feed the NLL, and rebuilding it is
+    a scatter that measures 7.5/16.9/32.9 ms at dentate B=128/256/512
+    (benchmarks/bench_gather.py densify_*) — ~19% of the whole train step.
+    Split the gene sum instead: at c=0 the Gamma terms of the NB log-pmf
+    vanish exactly (lgamma(theta)-lgamma(theta)-lgamma(1) = 0), so
+
+        -sum_g log_nb(c_g) = -sum_g log_nb(0 | mu_g)          [elementwise]
+                             -sum_{c_g>0} [log_nb(c_g) - log_nb(0 | mu_g)]
+
+    with the correction gathered at the (B, S) expressed entries. Exactly the
+    same floats as `vae_loss` term-for-term (same eps placement as
+    ops/distributions.log_nb_positive); the gather's backward is a
+    scatter-add, so the scatter moves fwd->bwd rather than disappearing —
+    whether that nets a win is measured, not assumed
+    (bench_batch_scaling --lean-loss)."""
+    mu = params["mu"].astype(jnp.float32)
+    theta = params["theta"].astype(jnp.float32)
+    g_ids = genes_subset
+    # zero-count baseline over ALL genes: theta * log(theta / (theta + mu))
+    zero_term = theta * (jnp.log(theta + eps) - jnp.log(theta + mu + eps))
+    base = -zero_term.sum(axis=1)  # (B,)
+    # correction at the expressed entries only
+    cols = jnp.clip(g_ids.astype(jnp.int32) - 1, 0, mu.shape[1] - 1)
+    mu_s = jnp.take_along_axis(mu, cols, axis=1)  # (B, S)
+    theta_s = (
+        theta[cols] if theta.ndim == 1 else jnp.take_along_axis(theta, cols, axis=1)
+    )
+    c = counts_subset.astype(jnp.float32)
+    corr = log_nb_positive(c, mu_s, theta_s, eps) - theta_s * (
+        jnp.log(theta_s + eps) - jnp.log(theta_s + mu_s + eps)
+    )
+    corr = jnp.where(g_ids > 0, corr, 0.0)  # padding rows gathered garbage
+    return (base - corr.sum(axis=1)).mean()
+
+
 class VAETask:
     """Owns the model + optimizer + compiled steps. Pure-state in/out."""
 
@@ -705,6 +750,7 @@ class VAETask:
         algebraic_tail: Optional[bool] = None,  # opt-in: XLA-reassociated cross+head (census widths)
         algebraic_fused_gate: bool = False,  # + swiglu_vec Pallas tail (single-device; opt-in pending TPU sign)
         algebraic_vw_fold: Optional[bool] = None,  # fold c_proj into v; None = on with the algebraic tail
+        lean_loss: Optional[bool] = None,  # densify-free NB loss (opt-in pending TPU A/B)
         mesh: Optional[Mesh] = None,
         fsdp: bool = False,  # ZeRO-3 param/opt-state sharding over "data"
         gene_sp: bool = False,  # decode-side gene (sequence) parallelism over "model"
@@ -768,6 +814,10 @@ class VAETask:
         if algebraic_vw_fold is None:
             algebraic_vw_fold = self.algebraic_tail
         self.algebraic_vw_fold = bool(algebraic_vw_fold) and self.algebraic_tail
+        # densify-free NB train loss (vae_loss_lean): the gather's backward is
+        # a scatter-add, so the densify scatter moves fwd->bwd rather than
+        # disappearing — opt-in until the chip A/B says it nets a win
+        self.lean_loss = bool(lean_loss)
         self._pool_interpret = False  # tests: run the pool kernel in interpret mode
         self.mesh = mesh
         # gene/sequence parallelism: shard the decoder's GENE axis over the
@@ -1001,12 +1051,33 @@ class VAETask:
         full gene table as its batch-free query set)."""
         return self.algebraic_tail and COUNTS not in batch and C_SUB in batch
 
+    def _use_lean_loss(self, batch: Dict, on_reassoc_path: bool) -> bool:
+        """Static gate for the densify-free NB loss (vae_loss_lean): opted in,
+        NB head, a lean wire batch, and no gene-SP (the subset correction
+        spans the whole gene axis, which the dense loss shards trivially)."""
+        return (
+            self.lean_loss
+            and on_reassoc_path
+            and not self.gaussian_head
+            and not self.gene_sp
+            and COUNTS not in batch
+            and C_SUB in batch
+        )
+
     # -- steps -----------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         # fused path: canonical 1-D genes (lean batch) + eligible architecture
         use_fused = self._use_fused(batch)
         use_algebraic = not use_fused and self._use_algebraic(batch)
-        batch = self._materialize(batch)
+        use_lean = self._use_lean_loss(batch, use_fused or use_algebraic)
+        if use_lean:
+            # the dense (B, G) counts exist only to feed the NLL — skip the
+            # densify scatter entirely and keep the wire-format subsets
+            from scldm_tpu.ops.transforms import widen_lean
+
+            batch = widen_lean(batch)
+        else:
+            batch = self._materialize(batch)
         if self.gene_sp:
             # the NLL target shards like mu, so the loss computes shard-local
             # and only its sum crosses the "model" axis
@@ -1030,7 +1101,10 @@ class VAETask:
                 )
             else:
                 out, _ = self._apply(params, batch, train=True, rng=rng_d)
-            loss = vae_loss(batch[COUNTS], out, self.gaussian_head)
+            if use_lean:
+                loss = vae_loss_lean(batch[G_SUB], batch[C_SUB], out)
+            else:
+                loss = vae_loss(batch[COUNTS], out, self.gaussian_head)
             aux = {"llh": loss}
             if "theta" in out:
                 aux["theta"] = out["theta"].mean()

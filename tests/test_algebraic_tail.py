@@ -203,6 +203,49 @@ def test_vw_fold_task_dispatch_and_gene_sp():
         )
 
 
+def test_lean_loss_matches_dense(setup):
+    """vae_loss_lean (densify-free NB loss over the wire-format subsets) must
+    reproduce the dense vae_loss in value AND gradients — the same NLL terms
+    with the gene sum split at the zero counts."""
+    from scldm_tpu.training.vae_task import vae_loss_lean
+
+    vae, task, batch, state = setup
+    mat = task._materialize(batch)
+
+    def loss_dense(p):
+        out, _ = algebraic_nb_apply(vae, p, batch, train=False)
+        return vae_loss(mat["counts"], out, False)
+
+    def loss_lean(p):
+        out, _ = algebraic_nb_apply(vae, p, batch, train=False)
+        return vae_loss_lean(mat["genes_subset"], mat["counts_subset"], out)
+
+    l_d, g_d = jax.value_and_grad(loss_dense)(state.params)
+    l_l, g_l = jax.value_and_grad(loss_lean)(state.params)
+    np.testing.assert_allclose(l_l, l_d, rtol=1e-6)
+    flat_d = jax.tree_util.tree_leaves_with_path(g_d)
+    flat_l = jax.tree_util.tree_leaves(g_l)
+    for (path, gd), gl in zip(flat_d, flat_l):
+        np.testing.assert_allclose(
+            gl, gd, rtol=1e-4, atol=1e-6, err_msg=jax.tree_util.keystr(path)
+        )
+
+    # task-level dispatch: same train loss as the dense-loss task
+    t_lean = VAETask(
+        vae, num_training_steps=100, algebraic_tail=True, lean_loss=True
+    )
+    t_dense = VAETask(vae, num_training_steps=100, algebraic_tail=True)
+    assert t_lean._use_lean_loss(batch, True)
+    assert not t_lean._use_lean_loss(mat, True)  # dense batches keep vae_loss
+    s_l = t_lean.init_state(jax.random.PRNGKey(0), batch)
+    s_d = t_dense.init_state(jax.random.PRNGKey(0), batch)
+    _, m_l = t_lean.train_step(s_l, batch)
+    _, m_d = t_dense.train_step(s_d, batch)
+    np.testing.assert_allclose(
+        float(m_l["train_loss"]), float(m_d["train_loss"]), rtol=1e-5
+    )
+
+
 def test_auto_default_follows_width():
     """algebraic_tail=None (the default) auto-enables only at wide embeds
     (n_embed > 128), where the round-4 TPU measurement showed +13% and the
@@ -356,6 +399,60 @@ def test_generation_algebraic_decode_parity():
         )
         mismatch = (np.asarray(c2) != np.asarray(c4)).mean()
         assert mismatch < 1e-3, f"{mismatch:.4f} of counts differ"
+
+
+def test_generation_fused_gate_decode_parity():
+    """LDMTask(algebraic_fused_gate=True): the serving-batch memory escape
+    hatch (swiglu_vec decode tail — the (2B, G, 2Hd)/(2B, G, Hd) forward
+    temporaries that OOM census gen-batch 64 never exist) must reproduce the
+    plain algebraic decode."""
+    from scldm_tpu.nn.nnets import DiT
+    from scldm_tpu.sampling.size_factors import SizeFactorSampler
+    from scldm_tpu.training.ldm_task import LDMTask
+    from scldm_tpu.transport import create_transport
+
+    vae = _build()
+    batch = _lean_batch(np.random.default_rng(2))
+    genes = jnp.arange(1, G + 1)
+    vae_params = VAETask(vae, num_training_steps=10).init_state(
+        jax.random.PRNGKey(0), batch
+    ).params
+    dit = DiT(
+        n_embed=32, n_embed_input=16, n_layer=2, n_head=4, seq_len=8,
+        class_vocab_sizes={"clusters": 3}, cfg_dropout_prob=0.8,
+    )
+    kwargs = dict(num_training_steps=50, ema_update_after_step=0,
+                  ema_update_every=1, algebraic_decode=True)
+    task_plain = LDMTask(vae, vae_params, dit, create_transport(), **kwargs)
+    task_gate = LDMTask(
+        vae, vae_params, dit, create_transport(), algebraic_fused_gate=True,
+        **kwargs,
+    )
+    assert task_gate.algebraic_fused_gate
+    task_gate._decode_interpret = True  # Pallas tail on CPU
+
+    state = task_plain.init_state(
+        jax.random.PRNGKey(3),
+        {"library_size": batch["library_size"],
+         "clusters": jnp.zeros((B,), jnp.int32)},
+    )
+    sfs = SizeFactorSampler.__new__(SizeFactorSampler)
+    sfs.strategy = "mutually_exclusive"
+    sfs.tables = {}
+    sfs.joint_table = None
+    sfs.joint_components = None
+    fkw = dict(guidance_weight={"clusters": 1.0}, sampling_method="euler",
+               num_steps=3)
+    cond = {"clusters": jnp.zeros((B,), jnp.int32)}
+    c1, z1 = task_plain.make_sample_fn(sfs, **fkw)(
+        state, jax.random.PRNGKey(7), genes, cond
+    )
+    c2, z2 = task_gate.make_sample_fn(sfs, **fkw)(
+        state, jax.random.PRNGKey(7), genes, cond
+    )
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-6)
+    mismatch = (np.asarray(c1) != np.asarray(c2)).mean()
+    assert mismatch < 1e-3, f"{mismatch:.4f} of counts differ"
 
 
 def test_mesh_dp_parity():
