@@ -62,10 +62,13 @@ ITEMS = {
         sys.executable, "-m", "benchmarks.bench_ldm", "--census",
         "--no-algebraic-decode",
     ],
-    # post-flip serving sweep (auto algebraic decode) over generation batches
+    # post-flip serving sweep (auto algebraic decode) over generation batches.
+    # gen-batch 64 (CFG batch 128) OOMs the plain decode's (2B, G, Hd) SwiGLU
+    # temporaries (~13 GB) — measured round 5; the swiglu_vec decode
+    # (LDMTask(algebraic_fused_gate=True)) is the escape hatch beyond 32
     "ldm_census_sweep": [
         sys.executable, "-m", "benchmarks.bench_ldm", "--census",
-        "--gen-batch", "0", "32", "64",
+        "--gen-batch", "0", "32",
     ],
     # default-shape serving sweep (dentate VAE decode, module path at E=32)
     "ldm_gen_sweep": [
