@@ -111,6 +111,12 @@ ITEMS = {
         "--configs", "dentate", "--batches", "128", "256", "512",
         "--lean-loss",
     ],
+    # atlas-scale e2e rehearsal (BASELINE configs[3]): HLCA-shaped multi-shard
+    # CLI training from disk + mid-run SIGTERM + step-exact resume. Round-5
+    # chip run: PASSED (742 cells/s from disk; preempt 24 -> resume 24 ->
+    # done 176 == max_steps) after it caught the pre-split-n_cells max_steps
+    # overshoot (datamodule.py n_cells fix). ~35 min incl. synthesis+compile.
+    "atlas": [sys.executable, "-m", "benchmarks.atlas_rehearsal"],
 }
 CORE = ["bench", "flash_compiled", "census", "census_algebraic", "census_algebraic_b32"]
 

@@ -243,12 +243,22 @@ class DataModule:
         if test_files:
             self._test_specs = self._file_row_specs(test_files, self.test_batch_size)
 
-        if meta is not None:
-            self.n_cells = int(meta["n_cells"])
+        # n_cells = the TRAIN-split cell count, not the collection total.
+        # The shard-level split reserves ~10% of shards for validation, and
+        # compute_max_steps(n_cells) drives both the step budget and the LR
+        # schedule — the HLCA-shape atlas rehearsal (round 5) caught the old
+        # metadata-total shortcut overshooting max_steps by a full val-split
+        # of steps (192 budgeted vs 176 the stream can deliver), so the decay
+        # never completed and "done at step" != max_steps. _train_specs is
+        # exact (post-split, post drop_incomplete_batch) and already built.
+        if self._train_specs:
+            self.n_cells = sum(s[2] - s[1] for s in self._train_specs)
         elif self._tissue_cells is not None:
             self.n_cells = int(self._tissue_cells)
+        elif meta is not None:
+            self.n_cells = int(meta["n_cells"])
         else:
-            self.n_cells = sum(s[2] - s[1] for s in self._train_specs)
+            self.n_cells = 0
         self._is_setup = True
 
     def _row_specs(self, path: str, lo: int, hi: int, bs: int) -> List[Tuple[str, int, int]]:

@@ -367,11 +367,17 @@ class TestDataModule:
         )
         (tmp_path / "meta.json").write_text((shard_dir / "meta.json").read_text())
         dm = self._dm(tmp_path, train_adata_path=str(shard_dir), batch_size=32)
-        assert dm.n_cells == 384
+        # n_cells is the TRAIN-split size (11 of 12 shards), NOT the metadata
+        # total: compute_max_steps(n_cells) must match what the train stream
+        # can actually deliver per epoch — the HLCA atlas rehearsal (round 5)
+        # caught the metadata-total shortcut overshooting max_steps by a full
+        # val split of steps, so the LR decay never completed
+        assert dm.n_cells == 352
         n_train_batches = len(list(dm.train_batches(0)))
         n_val_batches = len(list(dm.val_batches()))
         assert n_train_batches == 11  # 12 shards, 1 val shard
         assert n_val_batches == 2  # 1 shard of 32 at test_batch_size 16
+        assert dm.n_cells == 32 * n_train_batches
 
     def test_prefetch_thread_matches_sync(self, tmp_path, rng):
         _write_dataset(tmp_path, rng, n=64)
