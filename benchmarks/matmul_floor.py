@@ -114,21 +114,33 @@ def main():
             "unit": "TFLOP/s", "vs_baseline": None,
         }))
 
-    # the silu-mul epilogue tax: fused up-proj + SwiGLU gate vs bare matmul
+    # the silu-mul epilogue tax: fused up-proj + SwiGLU gate vs bare matmul.
+    # A ratio, so a capped row count suffices — the concat form's f32 (R, 2H)
+    # output OOMs outright at B=32 rows (13 GB; the exact tensor the two-dot
+    # reformulation exists to avoid), which must not kill the ceiling print.
     def fused_gate(a, b):
         h = jnp.dot(a, b, preferred_element_type=jnp.float32)
         w1x, w2x = jnp.split(h, 2, axis=-1)
         return (jax.nn.silu(w1x) * w2x).astype(jnp.bfloat16)
 
-    ka, kb = jax.random.split(jax.random.PRNGKey(1))
-    a = jax.random.normal(ka, (R, E), jnp.bfloat16)
-    b = jax.random.normal(kb, (E, 2 * HD), jnp.bfloat16)
-    t_bare = _time(plain, (a, b))
-    t_gate = _time(jax.jit(fused_gate), (a, b))
-    print(json.dumps({
-        "metric": "swiglu_gate_epilogue_tax", "value": round(t_gate / t_bare, 2),
-        "unit": "x bare matmul", "vs_baseline": None,
-    }))
+    try:
+        r_tax = min(R, 16 * args.genes)
+        ka, kb = jax.random.split(jax.random.PRNGKey(1))
+        a = jax.random.normal(ka, (r_tax, E), jnp.bfloat16)
+        b = jax.random.normal(kb, (E, 2 * HD), jnp.bfloat16)
+        t_bare = _time(plain, (a, b))
+        t_gate = _time(jax.jit(fused_gate), (a, b))
+        print(json.dumps({
+            "metric": "swiglu_gate_epilogue_tax",
+            "value": round(t_gate / t_bare, 2),
+            "unit": "x bare matmul", "vs_baseline": None,
+        }))
+    except Exception as e:  # pragma: no cover - device OOM path
+        print(json.dumps({
+            "metric": "swiglu_gate_epilogue_tax", "value": None,
+            "unit": "x bare matmul", "vs_baseline": None,
+            "error": str(e)[:120],
+        }))
 
     ceiling = total_fl / total_t / 1e12
     print(json.dumps({
