@@ -61,7 +61,7 @@ def _device_reachable(timeout_s: int = 180) -> tuple[bool, str]:
 
 
 def _device_reachable_with_retry(
-    attempts: int = 5, timeout_s: int = 120
+    attempts: int = 5, timeout_s: int = 240
 ) -> tuple[bool, str]:
     """Ride out transient relay blips: retry the probe with backoff before
     declaring the accelerator unreachable (round 3's official bench recorded

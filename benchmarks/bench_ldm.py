@@ -43,6 +43,11 @@ def main():
     p.add_argument("--no-algebraic-decode", action="store_true",
                    help="force the module decode (A/B baseline; the default "
                         "auto-enables the reassociated tail at n_embed > 128)")
+    p.add_argument("--fused-gate-decode", action="store_true",
+                   help="swiglu_vec decode tail (the serving-batch memory "
+                        "escape hatch: the (2B, G, Hd) forward temporaries "
+                        "that OOM census gen-batch 64 never exist); implies "
+                        "the algebraic decode")
     p.add_argument("--gen-batch", type=int, nargs="+", default=[0],
                    help="generation batch size(s) (pre-CFG-doubling); 0 = "
                         "the training batch. Serving throughput scales with "
@@ -79,12 +84,13 @@ def main():
         class_vocab_sizes={"clusters": 14}, cfg_dropout_prob=0.8, dtype=jnp.bfloat16,
     )
     alg_decode = (
-        True if args.algebraic_decode
+        True if (args.algebraic_decode or args.fused_gate_decode)
         else (False if args.no_algebraic_decode else None)  # None = task auto
     )
     task = LDMTask(vae, vstate.params, dit, create_transport(),
                    num_training_steps=1000,
-                   algebraic_decode=alg_decode)
+                   algebraic_decode=alg_decode,
+                   algebraic_fused_gate=args.fused_gate_decode)
     state = task.init_state(jax.random.PRNGKey(1), batch)
     dev_batch = jax.tree_util.tree_map(jnp.asarray, batch)
     stacked = jax.tree_util.tree_map(lambda x: jnp.stack([x] * K), dev_batch)
@@ -125,6 +131,8 @@ def main():
     genes = canonical_gene_ids(n_genes)
     if task.algebraic_decode:
         tag = f"{tag}alg_"  # generation metrics only — training is unaffected
+    if task.algebraic_fused_gate:
+        tag = f"{tag}fg_"
     for gb in args.gen_batch:
         GEN_BATCH = gb or BATCH
         gen_clusters = np.resize(batch["clusters"], GEN_BATCH)
