@@ -316,8 +316,14 @@ def test_algebraic_decode_auto_resolves_like_vae_task():
     wide = _build(n_embed=256, n_head=8, n_head_cross=8, multiple_of=64)
     narrow = _build()
     kwargs = dict(num_training_steps=10)
-    assert LDMTask(wide, {}, dit, create_transport(), **kwargs).algebraic_decode
-    assert not LDMTask(narrow, {}, dit, create_transport(), **kwargs).algebraic_decode
+    t_wide = LDMTask(wide, {}, dit, create_transport(), **kwargs)
+    assert t_wide.algebraic_decode
+    # the vw fold rides the decode by default (round-5 TPU A/B), and is
+    # subordinate to it
+    assert t_wide.algebraic_vw_fold
+    t_narrow = LDMTask(narrow, {}, dit, create_transport(), **kwargs)
+    assert not t_narrow.algebraic_decode
+    assert not t_narrow.algebraic_vw_fold
     # explicit settings still override the auto in both directions
     assert not LDMTask(
         wide, {}, dit, create_transport(), algebraic_decode=False, **kwargs
