@@ -111,6 +111,12 @@ ITEMS = {
         "--configs", "dentate", "--batches", "128", "256", "512",
         "--lean-loss",
     ],
+    # swiglu_vec decode escape hatch at the serving batches plain XLA can't
+    # fit (round-5: gen-batch 64 = 152.4 cells/s; plain OOMs there)
+    "ldm_census_fused_gate": [
+        sys.executable, "-m", "benchmarks.bench_ldm", "--census",
+        "--fused-gate-decode", "--gen-batch", "32", "64",
+    ],
     # atlas-scale e2e rehearsal (BASELINE configs[3]): HLCA-shaped multi-shard
     # CLI training from disk + mid-run SIGTERM + step-exact resume. Round-5
     # chip run: PASSED (742 cells/s from disk; preempt 24 -> resume 24 ->
