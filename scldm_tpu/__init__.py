@@ -14,6 +14,6 @@ A from-scratch JAX/Flax/Pallas rebuild of the capabilities of czi-ai/scldm
   sharded-h5ad data pipeline, and Pallas TPU kernels on hot paths.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from scldm_tpu import constants  # noqa: F401
