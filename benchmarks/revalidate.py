@@ -151,6 +151,22 @@ def probe(timeout_s: int = 120) -> dict:
                 "(device relay unreachable?)", "elapsed_s": timeout_s}
 
 
+def probe_with_retry(attempts: int = 5, timeout_s: int = 240) -> dict:
+    """Ride out relay flaps the way bench.py does (bench._device_reachable_with_retry):
+    round-5 observed the relay cycle down→up→down within ~10 min, so a single
+    240s probe can land inside a blip that a later attempt clears."""
+    last = {}
+    for i in range(attempts):
+        last = probe(timeout_s=timeout_s)
+        if last["ok"]:
+            last["attempts"] = i + 1
+            return last
+        if i < attempts - 1:
+            time.sleep(min(60, 10 * (i + 1)))
+    last["attempts"] = attempts
+    return last
+
+
 def run_item(name: str, cmd, timeout_s: int) -> dict:
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -225,7 +241,7 @@ def main():
             pass
 
     if not args.skip_probe:
-        report["probe"] = probe(timeout_s=args.probe_timeout)
+        report["probe"] = probe_with_retry(timeout_s=args.probe_timeout)
         out_path.write_text(json.dumps(report, indent=2))
         print(f"probe: {report['probe']}", flush=True)
         if not report["probe"]["ok"]:
